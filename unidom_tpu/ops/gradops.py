@@ -41,15 +41,30 @@ def clamp_grad_norm_tree(x):
     return x
 
 
+def _is_float(t):
+    return hasattr(t, "dtype") and jnp.issubdtype(t.dtype, jnp.floating) and t.dtype != jax.dtypes.float0
+
+
+def _map_floats(fn, tree):
+    """tree_map over float leaves only; integer/key/float0 cotangents pass
+    through untouched (their tangent space is trivial)."""
+    return jax.tree_util.tree_map(lambda t: fn(t) if _is_float(t) else t, tree)
+
+
+def _float_global_norm(tree):
+    leaves = [t for t in jax.tree_util.tree_leaves(tree) if _is_float(t)]
+    return optax.global_norm(leaves)
+
+
 def _clamp_fwd(x):
     return x, ()
 
 
 def _clamp_bwd(_, g):
-    g = jax.tree_util.tree_map(lambda t: jnp.nan_to_num(t + 0.0), g)
-    g_norm = optax.global_norm(g)
+    g = _map_floats(lambda t: jnp.nan_to_num(t + 0.0), g)
+    g_norm = _float_global_norm(g)
     trigger = g_norm < 1.0
-    g = jax.tree_util.tree_map(lambda t: jnp.where(trigger, t, t / g_norm), g)
+    g = _map_floats(lambda t: jnp.where(trigger, t, t / g_norm), g)
     return (g,)
 
 
@@ -120,7 +135,7 @@ def _scrub_fwd(x):
 
 
 def _scrub_bwd(_, g):
-    return (jax.tree_util.tree_map(lambda t: jnp.nan_to_num(t + 0.0), g),)
+    return (_map_floats(lambda t: jnp.nan_to_num(t + 0.0), g),)
 
 
 scrub_grad.defvjp(_scrub_fwd, _scrub_bwd)
