@@ -71,6 +71,8 @@ class ClothConf:
     seed: int = 1
     mem_saving_level: int = 2  # 0: no remat, 1: remat substeps, 2: remat substeps + robot step
     n_substeps: int = 50
+    gripper_radius: float = 0.01  # suction-ball radius (must exceed half the
+    # particle spacing 1/N for the gripper to capture cloth)
     task: str = "cloth"
     goal_path: str = ""
     use_substep_obs: bool = True
@@ -293,8 +295,9 @@ class ClothSimulator:
 
         x = self.x_grid_init[self.idx_i, self.idx_j]
         v = jnp.zeros((self.n_particles, 3), dtype=jnp.float32)
-        ps0 = jnp.array([0.5, 0.5, 0.5, 0.01], dtype=jnp.float32)
-        ps1 = jnp.array([1.0, 1.0, 1.0, 0.01], dtype=jnp.float32)
+        r = conf.gripper_radius
+        ps0 = jnp.array([0.5, 0.5, 0.5, r], dtype=jnp.float32)
+        ps1 = jnp.array([1.0, 1.0, 1.0, r], dtype=jnp.float32)
 
         key, _ = jax.random.split(self.key_global)
         state = ClothState(

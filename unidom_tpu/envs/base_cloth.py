@@ -32,6 +32,11 @@ class ClothEnv:
     PARTICLE = "PARTICLE"
     DEPTH = "DEPTH"
 
+    # trainer contracts (replacing the reference's isinstance switches,
+    # apg.py:90-91, 133-134, 185-186, 288-307)
+    action_squash = "sigmoid"  # post-sample sigmoid on sampled actions
+    reset_mode = "reset"  # fresh vmapped reset(key) every training iteration
+
     def __init__(
         self,
         conf: ClothConf,

@@ -29,6 +29,10 @@ class MPMEnv:
     PARTICLE = "PARTICLE"
     DEPTH = "DEPTH"
 
+    # trainer contracts (replacing the reference's isinstance switches)
+    action_squash = None
+    reset_mode = "auto_reset"  # randomize around init_state each iteration
+
     def __init__(
         self,
         conf: MPMConf,

@@ -127,6 +127,11 @@ ShapeRopeConf = MPMConf(
 class ShapeRopeEnv(MPMEnv):
     """Push-to-shape a plastic rope. Macro action = (start, end) push."""
 
+    # the reference treats shape_rope like a cloth env in the trainer
+    # (sigmoid squash, host reset; apg.py:90-91,133-134)
+    action_squash = "sigmoid"
+    reset_mode = "host_reset"
+
     PUSH_SUBSTEPS = 30
     PUSH_CAP = 0.3
     ROPE_WIDTH = (0.25, 0.006, 0.006)
