@@ -36,7 +36,9 @@ class TestClothSimulator:
     def test_topology(self):
         sim, state = self.make()
         assert sim.n_particles == 48
-        assert state.x.shape == (2, 48, 3)
+        assert (sim.H, sim.W) == (6, 8)
+        assert state.x.shape == (2, 6, 8, 3)
+        assert sim.pack(state.x[0]).shape == (48, 3)
         # interior particle has 8 valid neighbors, corner particle 3
         n_valid = np.asarray(sim.nbr_valid[..., 0]).sum(-1)
         assert n_valid.max() == 8
@@ -60,23 +62,23 @@ class TestClothSimulator:
         action = jnp.zeros((2, 8))
         for _ in range(5):
             state, _ = sim.step_batch(state, action)
-        rel = state.x[0][sim.nbr_idx] - state.x[0][:, None, :]
-        cur = jnp.linalg.norm(rel, axis=-1, keepdims=True)
-        stretch = jnp.abs(cur - sim.rest_len) / sim.rest_len
-        stretch = jnp.where(sim.nbr_valid > 0, stretch, 0.0)
+        # horizontal neighbor distance on the dense grid
+        x = state.x[0]
+        d = jnp.linalg.norm(x[:, 1:] - x[:, :-1], axis=-1)
+        stretch = jnp.abs(d - sim.conf.cell_size) / sim.conf.cell_size
         assert float(stretch.max()) < 0.25
 
     def test_gripper_suction_moves_particles(self):
         sim, state = self.make()
         # place gripper-0 at a corner particle, suction ON (flag 0)
-        corner = state.x[0, 0]
+        corner = state.x[0, 0, 0]
         prim0 = jnp.concatenate([corner, jnp.array([0.05])])
         state = state._replace(primitive0=jnp.broadcast_to(prim0, (2, 4)))
         action = jnp.zeros((2, 8)).at[:, 1].set(2.0)  # pull up
-        before_y = float(state.x[0, 0, 1])
+        before_y = float(state.x[0, 0, 0, 1])
         for _ in range(3):
             state, _ = sim.step_batch(state, action)
-        after_y = float(state.x[0, 0, 1])
+        after_y = float(state.x[0, 0, 0, 1])
         assert after_y > before_y + 0.05
 
     @pytest.mark.parametrize("level", [0, 1, 2])
@@ -91,7 +93,7 @@ class TestClothSimulator:
     def test_gradients_flow_and_finite(self):
         sim, state = self.make(batch=1)
         # grip a corner particle so the action actually touches the cloth
-        corner = state.x[0, 0]
+        corner = state.x[0, 0, 0]
         prim0 = jnp.concatenate([corner, jnp.array([0.05])])
         state = state._replace(primitive0=jnp.broadcast_to(prim0, (1, 4)))
 
@@ -132,6 +134,7 @@ class TestClothEnv:
         obs, state = env.reset(jax.random.PRNGKey(0))
         assert obs.shape == (2, env.observation_size)
         assert state.x.shape[0] == 2
+        assert env.packed_x(state).shape == (2, env.n_particles, 3)
 
     def test_pnp_expansion(self, env):
         _, state = env.reset(jax.random.PRNGKey(0))

@@ -93,12 +93,17 @@ class ClothEnv:
     # observations
     # -------------------------------------------------------------- #
 
+    def packed_x(self, state: ClothState):
+        """(B, P, 3) particle view of the dense state (the reference's native
+        layout; used for obs, rewards, and the robot bridge)."""
+        return jax.vmap(self.simulator.pack)(state.x)
+
     def get_obs(self, state: ClothState):
         """Particle observation: positions + both gripper states
         (+ normalized stiffness when param-conditioned)."""
 
         def one(x, p0, p1, stiffness):
-            parts = [x.reshape(-1), p0, p1]
+            parts = [self.simulator.pack(x).reshape(-1), p0, p1]
             if self.param_obs:
                 lo, hi = self.eval_min_max_stiff
                 parts.append(((stiffness - lo) / (hi - lo)).reshape(1))
@@ -112,6 +117,7 @@ class ClothEnv:
         z_offset = 0.01
 
         def one(x):
+            x = self.simulator.pack(x)
             points = x + jnp.array([[0.0, z_offset, 0.0]])
             order = jnp.argsort(points[..., 1])
             points = points[order]
@@ -161,7 +167,7 @@ class ClothEnv:
         def step_diff(actions, state: ClothState):
             pickup_place = actions[..., :3]
             contact_distance = jnp.sqrt(
-                jnp.sum((pickup_place[:, None, :] - state.x) ** 2, -1)
+                jnp.sum((pickup_place[:, None, :] - self.packed_x(state)) ** 2, -1)
             ).min(-1)
 
             sub_actions = self.get_pnp_actions(actions, state)
@@ -177,7 +183,7 @@ class ClothEnv:
                 obs_list = obs
 
             done = state.cur_step >= self.max_steps
-            chamfer_distance = chamfer(state.x, self.goal)
+            chamfer_distance = chamfer(self.packed_x(state), self.goal)
             reward = math.e ** (-chamfer_distance * 10.0)
             if self.aux_reward:
                 reward = reward + math.e ** (-contact_distance)
@@ -207,16 +213,16 @@ class ClothEnv:
     def get_x_grid(self, state: ClothState):
         return self.simulator.get_x_grid(state.x)
 
-    @staticmethod
-    def get_random_fold_action(state: ClothState):
+    def get_random_fold_action(self, state: ClothState):
         """Random pick/place pair sampled from current particles
         (cloth_env.py:323-333; uses numpy RNG like the reference)."""
-        num_particle = state.x.shape[1]
-        batch_size = state.x.shape[0]
+        x = self.packed_x(state)
+        num_particle = x.shape[1]
+        batch_size = x.shape[0]
         batch_idx = jnp.arange(batch_size)
         st = np.random.randint(0, num_particle, size=(batch_size,))
         ed = np.random.randint(0, num_particle, size=(batch_size,))
-        return jnp.concatenate((state.x[batch_idx, st], state.x[batch_idx, ed]), axis=-1)
+        return jnp.concatenate((x[batch_idx, st], x[batch_idx, ed]), axis=-1)
 
     def render(self, state: ClothState, visualize=False):
         from unidom_tpu.render.mesh import MeshRenderer

@@ -99,14 +99,8 @@ class _UnfoldClothEnv(ClothEnv):
         return _rect_mask(conf.N, conf.size)
 
     def random_fold(self, state, step):
-        batch_idx = jnp.arange(state.x.shape[0])
-        num_particle = state.x.shape[1]
         for _ in range(step):
-            st = np.random.randint(0, num_particle, size=(state.x.shape[0],))
-            ed = np.random.randint(0, num_particle, size=(state.x.shape[0],))
-            actions = jnp.concatenate(
-                (state.x[batch_idx, st], state.x[batch_idx, ed]), axis=-1
-            )
+            actions = self.get_random_fold_action(state)
             _, _, _, info = self.step_diff(actions, state)
             state = info["state"]
         return state
