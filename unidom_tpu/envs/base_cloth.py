@@ -235,3 +235,16 @@ class ClothEnv:
             np.asarray(state.primitive0[0]),
             visualize,
         )
+
+    def step_with_render(self, actions, state: ClothState, visualize=False):
+        """step_diff plus a frame per gripper sub-action
+        (cloth_env.py:189-199)."""
+        obs, reward, done, info = self.step_diff(actions, state)
+        sub_actions = self.get_pnp_actions(actions, state)
+        img_list = []
+        for action in sub_actions:
+            state, _ = self.simulator.step_batch(state, action)
+            rgb, depth = self.render(state, visualize)
+            img_list.append(rgb)
+        info["img_list"] = img_list
+        return obs, reward, done, info

@@ -220,3 +220,16 @@ class MPMEnv:
         if not hasattr(self, "_renderer"):
             self._renderer = ParticleRenderer()
         return self._renderer.render(np.asarray(state.x[0]), visualize)
+
+    def step_with_render(self, actions, state: MPMState, visualize=False):
+        """step_diff plus one frame per sub-action from state_list
+        (mpm_env.py:171-183)."""
+        obs, reward, done, info = self.step_diff(actions, state)
+        img_list = []
+        n_frames = jax.tree_util.tree_leaves(info["state_list"])[0].shape[0]
+        for i in range(n_frames):
+            s = jax.tree_util.tree_map(lambda t: t[i], info["state_list"])
+            rgb, depth = self.render(s, visualize)
+            img_list.append(rgb)
+        info["img_list"] = img_list
+        return obs, reward, done, info
