@@ -26,7 +26,13 @@ from unidom_tpu.ops.metrics import chamfer
 
 
 def load_expert_dataset(data_dir: str, param_names: Sequence[str], n_points=512):
-    """Stack expert pickles into (clouds (M, n_points, 3), params (M, P))."""
+    """Stack expert pickles into (clouds (M, n_points, 3), params (M, P)).
+
+    Subsampling uses the native FPS (unidom_tpu/io/native) for even surface
+    coverage — the counterpart of the reference's CUDA
+    ``farthest_point_sample`` in its data path."""
+    from unidom_tpu.io import native
+
     clouds, params = [], []
     for path in sorted(glob.glob(os.path.join(data_dir, "expert_*.pkl"))):
         with open(path, "rb") as f:
@@ -35,7 +41,7 @@ def load_expert_dataset(data_dir: str, param_names: Sequence[str], n_points=512)
         for b in range(pc.shape[0]):
             pts = pc[b]
             if pts.shape[0] >= n_points:
-                sel = np.random.choice(pts.shape[0], n_points, replace=False)
+                sel = native.fps(pts, n_points)
             else:
                 sel = np.random.choice(pts.shape[0], n_points, replace=True)
             clouds.append(pts[sel])
