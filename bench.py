@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 def main():
     env_steps = int(os.environ.get("BENCH_EP_LEN", 3))
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 256))
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 1024))
     iters = int(os.environ.get("BENCH_ITERS", 3))
 
     from unidom_tpu.algorithms.apg import build_apg

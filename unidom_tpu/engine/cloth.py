@@ -77,6 +77,9 @@ class ClothConf:
     n_substeps: int = 50
     gripper_radius: float = 0.01  # suction-ball radius (must exceed half the
     # particle spacing 1/N for the gripper to capture cloth)
+    backend: str = "auto"  # "auto" | "xla" | "pallas": auto uses the fused
+    # Pallas robot-step kernel on TPU when the env's collision hook is the
+    # default identity
     task: str = "cloth"
     goal_path: str = ""
     use_substep_obs: bool = True
@@ -151,7 +154,34 @@ class ClothSimulator:
 
         self.step = self._build_robot_step()
         self.step_batch = jax.vmap(self.step)
+        self.backend = "xla"
+        self._maybe_enable_pallas()
         self.x_grid_init = None  # filled by reset
+
+    def _maybe_enable_pallas(self):
+        """Swap in the fused Pallas robot-step kernel (ops/pallas/cloth_kernel)
+        when eligible: TPU backend (or forced), identity collision hook."""
+        conf = self.conf
+        want = conf.backend
+        if want == "xla":
+            return
+        identity_hook = getattr(self.collision_func, "is_identity", False)
+        if not identity_hook and want != "pallas":
+            return
+        try:
+            import jax as _jax
+
+            on_tpu = _jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if want == "auto" and not on_tpu:
+            return
+        from unidom_tpu.ops.pallas.cloth_kernel import build_cloth_robot_step_kernel
+
+        self.step_batch = build_cloth_robot_step_kernel(
+            self, interpret=(not on_tpu)
+        )
+        self.backend = "pallas"
 
     # ------------------------------------------------------------------ #
     # layout helpers
