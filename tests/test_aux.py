@@ -146,3 +146,19 @@ class TestProfiling:
             t.sync(x)
         assert t.elapsed > 0
         assert steps_per_second(3, 4, 2.0) == 6.0
+
+
+class TestExpertUI:
+    def test_projection_maps(self):
+        from unidom_tpu.utils.expert_ui import get_projection
+
+        x = np.array([[[0.1, 0.0, 0.1], [0.9, 0.0, 0.9]]])
+        m = get_projection(x, size=32)
+        assert m.shape == (1, 32, 32)
+        assert m.sum() == 2.0
+
+    def test_keymap_shapes(self):
+        from unidom_tpu.utils import expert_ui
+
+        for v in expert_ui._KEYMAP.values():
+            assert v.shape == (6,)

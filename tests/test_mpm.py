@@ -214,3 +214,12 @@ class TestMPMEnvs:
         g = jax.jit(jax.grad(loss))(jnp.ones((1, 6)) * 0.3, state)
         assert np.all(np.isfinite(np.asarray(g)))
         assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestGradTest:
+    def test_whip_rope_grad_test_utility(self):
+        """The reference's grad_test BPTT sanity check (whip_rope_env.py:213)."""
+        from unidom_tpu.envs.mpm_tasks import grad_test
+
+        results = grad_test(n_chained_steps=2, n_iters=2)
+        assert len(results) == 2

@@ -105,6 +105,51 @@ class WhipRopeEnv(MPMEnv):
         return self.get_obs(self.state), self.state
 
 
+def grad_test(env=None, n_chained_steps=5, n_iters=3):
+    """Gradient sanity check (whip_rope_env.py:213-252 parity, scripted
+    actions instead of the keyboard UI): jit jax.grad through
+    ``n_chained_steps`` chained step_diff calls with per-step NaN scrubs and
+    assert the gradients are finite and nonzero."""
+    import numpy as _np
+
+    from unidom_tpu.ops.gradops import scrub_grad
+
+    env = env or WhipRopeEnv(
+        batch_size=1, seed=1, max_steps=n_chained_steps + 1,
+        conf=MPMConf(n_grid=32, dt=2e-4, steps=8, E=100.0, nu=0.1,
+                     res=(16, 16, 16), task="grad_test", goal_path=""),
+    )
+    _, first_state = env.reset(jax.random.PRNGKey(1))
+
+    def loss_fn(actions, state):
+        def step_(i, carry):
+            actions, state = carry
+            state = jax.tree_util.tree_map(
+                lambda t: scrub_grad(t) if t.dtype == jnp.float32 else t, state
+            )
+            actions = scrub_grad(actions)
+            _, _, _, info = env.step_diff(actions, state)
+            return (actions, info["state"])
+
+        actions, state = jax.lax.fori_loop(0, n_chained_steps, step_, (actions, state))
+        return state.x.sum(), state
+
+    loss_grad = jax.jit(jax.grad(loss_fn, has_aux=True))
+    state = first_state
+    results = []
+    for i in range(n_iters):
+        actions = jnp.asarray(
+            _np.array([[0.3, 0.0, 0.5, 0.0, 0.0, 0.0]]), jnp.float32
+        ).repeat(env.batch_size, 0)
+        g, state = loss_grad(actions, state)
+        g = _np.asarray(g)
+        assert _np.isfinite(g).all(), f"non-finite grad at iter {i}"
+        results.append(g)
+        print(f"grad_test iter {i}: grad {g.round(6)}")
+    assert any(_np.abs(r).sum() > 0 for r in results), "all-zero gradients"
+    return results
+
+
 # ------------------------------------------------------------------ #
 # shape_rope family
 # ------------------------------------------------------------------ #
