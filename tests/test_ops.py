@@ -124,6 +124,8 @@ class TestSDF:
             "capsule": jnp.array([0.1, 0.2, 0.0]),
             "cylinder": jnp.array([0.15, 0.2, 0.0]),
             "torus": jnp.array([0.3, 0.08, 0.0]),
+            "rolling_pin": jnp.array([0.1, 0.25, 0.0]),
+            "chopsticks": jnp.array([0.05, 0.2, 0.12]),
             "container": jnp.array([0.3, 0.1, 0.03]),
         }[name]
         normal = sdf_normal(sdf)

@@ -176,6 +176,17 @@ class MPMSimulator:
 
         return self._append_particles(state, x_.astype(np.float32), material, hardness)
 
+    def add_sphere(self, state, radius, init_pos, hardness=1.0, material=WATER,
+                   density=1.0):
+        """Regular-grid sphere particle sampler (the plb shape_maker 'sphere'
+        capability, shapes/shape_maker.py:12-80)."""
+        conf = self.conf
+        n_grid = int(conf.n_grid * density)
+        coords = np.stack(np.indices((n_grid,) * 3), axis=-1) / n_grid - 0.5
+        mask = (coords**2).sum(-1) <= radius * radius
+        x_ = coords[mask] + np.asarray(init_pos, np.float64)
+        return self._append_particles(state, x_.astype(np.float32), material, hardness)
+
     def add_points(self, state, points, hardness=1.0, material=WATER):
         return self._append_particles(state, np.asarray(points, np.float32), material, hardness)
 

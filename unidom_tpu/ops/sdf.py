@@ -56,6 +56,22 @@ def sdf_torus(size, p):
     return _length(q) - size[1]
 
 
+def sdf_rolling_pin(size, p):
+    """Horizontal (x-axis) capsule — the Taichi RollingPin collider
+    (plb primitives.py RollingPin): radius size[0], half-length size[1]."""
+    q = p.at[..., 0].set(p[..., 0] - jnp.clip(p[..., 0], -size[1], size[1]))
+    return _length(q) - size[0]
+
+
+def sdf_chopsticks(size, p):
+    """Two parallel vertical capsules separated along x by 2*size[2]
+    (the Taichi Chopsticks gripper): radius size[0], half-height size[1]."""
+    off = size[2]
+    p1 = p.at[..., 0].add(-off)
+    p2 = p.at[..., 0].add(off)
+    return jnp.minimum(sdf_capsule(size, p1), sdf_capsule(size, p2))
+
+
 def sdf_container(size, p):
     """Cut hollow sphere (an open bowl): radius r, cut height h, thickness t."""
     r, h, t = size[0], size[1], size[2]
@@ -74,6 +90,8 @@ SDF_REGISTRY = {
     "capsule": sdf_capsule,
     "cylinder": sdf_cylinder,
     "torus": sdf_torus,
+    "rolling_pin": sdf_rolling_pin,
+    "chopsticks": sdf_chopsticks,
     "container": sdf_container,
 }
 

@@ -37,24 +37,31 @@ def _jacobi_rotation(app, aqq, apq):
     return c, s
 
 
+def _givens(c, s, p, q, dtype):
+    """Batched Givens matrix G: identity with G[p,p]=G[q,q]=c, G[p,q]=s,
+    G[q,p]=-s. Built by stacking (no in-place scatter updates — those blow up
+    both compile time and runtime when the SVD sits inside a physics scan)."""
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    entries = {(i, i): one for i in range(3)}
+    entries[(p, p)] = c
+    entries[(q, q)] = c
+    entries[(p, q)] = s
+    entries[(q, p)] = -s
+    rows = [
+        jnp.stack([entries.get((i, j), zero) for j in range(3)], axis=-1)
+        for i in range(3)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
 def _apply_jacobi(S, V, p, q):
-    """One (p, q) Jacobi rotation applied to symmetric S (both sides) and V."""
+    """One (p, q) Jacobi rotation: S <- G^T S G, V <- V G (batched matmuls)."""
     c, s = _jacobi_rotation(S[..., p, p], S[..., q, q], S[..., p, q])
-    c = c[..., None]
-    s = s[..., None]
-
-    # Rotate columns p and q of V: V <- V @ G(p, q, theta)
-    vp, vq = V[..., :, p], V[..., :, q]
-    V = V.at[..., :, p].set(c * vp - s * vq)
-    V = V.at[..., :, q].set(s * vp + c * vq)
-
-    # S <- G^T S G. Rotate rows then columns.
-    sp, sq = S[..., p, :], S[..., q, :]
-    S = S.at[..., p, :].set(c * sp - s * sq)
-    S = S.at[..., q, :].set(s * sp + c * sq)
-    sp, sq = S[..., :, p], S[..., :, q]
-    S = S.at[..., :, p].set(c * sp - s * sq)
-    S = S.at[..., :, q].set(s * sp + c * sq)
+    G = _givens(c, s, p, q, S.dtype)
+    Gt = jnp.swapaxes(G, -1, -2)
+    S = Gt @ S @ G
+    V = V @ G
     return S, V
 
 
