@@ -223,3 +223,46 @@ class TestGradTest:
 
         results = grad_test(n_chained_steps=2, n_iters=2)
         assert len(results) == 2
+
+
+class TestDenseTransfer:
+    """Tensor-product P2G/G2P must match the scatter path exactly (both
+    directions, including the affine/APIC terms and gradients)."""
+
+    def _pair(self):
+        sim_d, state = make_sim(material=ELASTIC, batch=1, transfer="dense")
+        sim_s, _ = make_sim(material=ELASTIC, batch=1, transfer="scatter")
+        assert sim_d.transfer_mode == "dense"
+        assert sim_s.transfer_mode == "scatter"
+        return sim_d, sim_s, state
+
+    def test_forward_parity(self):
+        sim_d, sim_s, state = self._pair()
+        state = state._replace(
+            v=jax.random.normal(jax.random.PRNGKey(0), state.v.shape) * 0.05,
+            C=jax.random.normal(jax.random.PRNGKey(1), state.C.shape) * 0.5,
+        )
+        action = jnp.zeros((1, 6)).at[0, 0].set(0.5)
+        out_d, _ = sim_d.step_batch(state, action)
+        out_s, _ = sim_s.step_batch(state, action)
+        np.testing.assert_allclose(np.asarray(out_d.x), np.asarray(out_s.x),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out_d.v), np.asarray(out_s.v),
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_d.C), np.asarray(out_s.C),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_grad_parity(self):
+        sim_d, sim_s, state = self._pair()
+
+        def loss(sim):
+            def f(action, state):
+                s, _ = sim.step_batch(state, action)
+                return (s.x * 1.3).sum() + (s.v * 0.7).sum()
+            return f
+
+        a = jnp.zeros((1, 6)).at[0, 2].set(0.3)
+        g_d = jax.grad(loss(sim_d))(a, state)
+        g_s = jax.grad(loss(sim_s))(a, state)
+        np.testing.assert_allclose(np.asarray(g_d), np.asarray(g_s),
+                                   rtol=1e-3, atol=1e-7)

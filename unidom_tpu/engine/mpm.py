@@ -84,6 +84,12 @@ class MPMConf:
     seed: int = 0
     task: str = "mpm"
     goal_path: str = ""
+    transfer: str = "auto"  # "auto" | "scatter" | "dense": particle<->grid
+    # transfer scheme. "dense" is the separable tensor-product form (three
+    # per-axis B-spline basis matrices contracted on the MXU — no
+    # scatter/gather, ~10x faster on TPU and far faster to compile);
+    # "scatter" is the flat-index segment scatter. "auto" picks dense when
+    # the intermediate (P x plane) tensors fit comfortably.
 
     @property
     def dx(self):
@@ -211,8 +217,18 @@ class MPMSimulator:
         self.n_particles = len(self.material)
         self._material = jnp.asarray(self.material)
         self._h = jnp.asarray(self.h)
+        self.transfer_mode = self._pick_transfer()
         self.step = self._build_step()
         self.step_batch = jax.vmap(self.step)
+
+    def _pick_transfer(self):
+        conf = self.conf
+        if conf.transfer != "auto":
+            return conf.transfer
+        rx, ry, rz = conf.res
+        # largest dense intermediate is (P, plane, 3); keep it under ~32 MB
+        plane = max(rx * ry, ry * rz, rx * rz)
+        return "dense" if self.n_particles * plane * 3 * 4 <= 32 * 2**20 else "scatter"
 
     # ------------------------------------------------------------------ #
     # reset
@@ -276,6 +292,78 @@ class MPMSimulator:
         dpos_units = self.offsets[None, :, :].astype(jnp.float32) - fx[:, None, :]  # (P, 27, 3)
         return weight, flat, dpos_units
 
+    # ------------------------------------------------------------------ #
+    # dense (separable tensor-product) particle<->grid transfers
+    # ------------------------------------------------------------------ #
+
+    def _axis_basis(self, xd, R):
+        """Per-axis quadratic B-spline basis. xd: (P,) coordinate * inv_dx.
+        Returns (w, wd): (P, R) with w[p, i] the weight of grid node i and
+        wd[p, i] = w * (i - xd) (the dpos-weighted basis used for the affine
+        momentum and C reconstruction). Out-of-range nodes are naturally
+        absent — identical semantics to the masked scatter path."""
+        t = jnp.arange(R, dtype=jnp.float32)[None, :] - xd[:, None]
+        at = jnp.abs(t)
+        w = jnp.where(
+            at < 0.5, 0.75 - t * t,
+            jnp.where(at < 1.5, 0.5 * (1.5 - at) ** 2, 0.0),
+        )
+        return w, w * t
+
+    def _bases(self, x):
+        conf = self.conf
+        rx, ry, rz = conf.res
+        wx, wxd = self._axis_basis(x[:, 0] * conf.inv_dx, rx)
+        wy, wyd = self._axis_basis(x[:, 1] * conf.inv_dx, ry)
+        wz, wzd = self._axis_basis(x[:, 2] * conf.inv_dx, rz)
+        return (wx, wxd), (wy, wyd), (wz, wzd)
+
+    def _p2g_dense(self, x, v, affine):
+        """grid_v (res, 3), grid_m (res) by three-axis tensor contraction:
+        grid = T(wx, wy, wz; m v) + dx [T(wxd, wy, wz; A col0) + ...]."""
+        conf = self.conf
+        rx, ry, rz = conf.res
+        P = x.shape[0]
+        (wx, wxd), (wy, wyd), (wz, wzd) = self._bases(x)
+
+        def chain(a, b, c, val):
+            # out[i, j, k, ch] = sum_p a[p,i] b[p,j] c[p,k] val[p,ch]
+            byc = jnp.einsum("pj,pk->pjk", b, c).reshape(P, ry * rz)
+            outs = [
+                (a * val[:, ch : ch + 1]).T @ byc for ch in range(val.shape[1])
+            ]
+            return jnp.stack(outs, -1).reshape(rx, ry, rz, val.shape[1])
+
+        # grid momentum = sum_p w (p_mass v + A @ dpos), dpos = (node - x/dx)*dx;
+        # the A term separates into the dpos-weighted basis per axis
+        grid_v = chain(wx, wy, wz, conf.p_mass * v)
+        grid_v += conf.dx * chain(wxd, wy, wz, affine[:, :, 0])
+        grid_v += conf.dx * chain(wx, wyd, wz, affine[:, :, 1])
+        grid_v += conf.dx * chain(wx, wy, wzd, affine[:, :, 2])
+        grid_m = chain(wx, wy, wz, jnp.full((P, 1), conf.p_mass))[..., 0]
+        return grid_v, grid_m
+
+    def _g2p_dense(self, x, grid_v):
+        """new_v (P, 3) and new_C (P, 3, 3) by the adjoint contractions."""
+        conf = self.conf
+        rx, ry, rz = conf.res
+        (wx, wxd), (wy, wyd), (wz, wzd) = self._bases(x)
+        g = grid_v.reshape(rx, ry, rz, 3)
+
+        def chain(a, b, c):
+            t = jnp.einsum("pj,ijkc->pikc", b, g)  # contract y
+            t = jnp.einsum("pk,pikc->pic", c, t)  # contract z
+            return jnp.einsum("pi,pic->pc", a, t)  # contract x
+
+        new_v = chain(wx, wy, wz)
+        C0 = chain(wxd, wy, wz)
+        C1 = chain(wx, wyd, wz)
+        C2 = chain(wx, wy, wzd)
+        # note dpos here is (node - x*inv_dx), unscaled — reference g2p
+        # convention (mpm_simulator.py:200-201); wd already carries it
+        new_C = 4.0 * conf.inv_dx * jnp.stack([C0, C1, C2], axis=-1)
+        return new_v, new_C
+
     def _substep(self, f, state: MPMState):
         conf = self.conf
         res = conf.res
@@ -329,27 +417,40 @@ class MPMSimulator:
         affine = stress + conf.p_mass * state.C
         state = state._replace(F=F)
 
-        # --- P2G scatter ---
-        weight, flat, dpos_units = self._weights_and_indices(state.x)
-        dpos = dpos_units * dx
-        mom = conf.p_mass * state.v[:, None, :] + jnp.einsum(
-            "pij,poj->poi", affine, dpos
-        )  # (P, 27, 3)
-        vals = weight[..., None] * mom
+        # --- P2G ---
+        if self.transfer_mode == "dense":
+            grid_v, grid_m = self._p2g_dense(state.x, state.v, affine)
+        else:
+            weight, flat, dpos_units = self._weights_and_indices(state.x)
+            dpos = dpos_units * dx
+            mom = conf.p_mass * state.v[:, None, :] + jnp.einsum(
+                "pij,poj->poi", affine, dpos
+            )  # (P, 27, 3)
+            vals = weight[..., None] * mom
 
-        grid_v = jnp.zeros((n_cells, 3)).at[flat.reshape(-1)].add(vals.reshape(-1, 3))
-        grid_m = jnp.zeros((n_cells,)).at[flat.reshape(-1)].add(
-            (weight * conf.p_mass).reshape(-1)
-        )
-        grid_v = grid_v.reshape(res + (3,))
-        grid_m = grid_m.reshape(res)
+            grid_v = (
+                jnp.zeros((n_cells, 3)).at[flat.reshape(-1)].add(vals.reshape(-1, 3))
+            )
+            grid_m = jnp.zeros((n_cells,)).at[flat.reshape(-1)].add(
+                (weight * conf.p_mass).reshape(-1)
+            )
+            grid_v = grid_v.reshape(res + (3,))
+            grid_m = grid_m.reshape(res)
 
         # --- primitive FK ---
         primitives = tuple(forward_kinematics(f, p) for p in state.primitives)
         state = state._replace(primitives=primitives)
 
         # --- grid ops ---
-        grid_v = jnp.where(grid_m[..., None] > 0, grid_v / (grid_m[..., None] + 1e-30), grid_v)
+        # momentum -> velocity with a mass threshold and guarded denominator:
+        # the raw reference form (m > 0, divide by m) lets cells with
+        # denormal masses (stencil-tail weights ~1e-14, which the dense
+        # tensor-product transfer produces for every near-boundary node)
+        # blow up the backward pass with 1/m^2 — the threshold is ~1e-5 of a
+        # particle mass, physically invisible, and keeps the VJP finite.
+        mass_mask = grid_m > 1e-10
+        safe_m = jnp.where(mass_mask, grid_m, 1.0)
+        grid_v = jnp.where(mass_mask[..., None], grid_v / safe_m[..., None], grid_v)
         grid_v = grid_v + dt * jnp.array(conf.gravity)
 
         grid_pos = self.grid_idx_3d.astype(jnp.float32) * dx
@@ -381,10 +482,15 @@ class MPMSimulator:
         cond = ((idx3 < 3) & (grid_v < 0)) | ((idx3 > conf.n_grid - 3) & (grid_v > 0))
         grid_v = jnp.where(cond, 0.0, grid_v)
 
-        # --- G2P gather ---
-        gv = grid_v.reshape(n_cells, 3)[flat]  # (P, 27, 3)
-        new_v = jnp.sum(weight[..., None] * gv, axis=1)
-        new_C = 4.0 * inv_dx * jnp.einsum("po,poi,poj->pij", weight, gv, dpos_units)
+        # --- G2P ---
+        if self.transfer_mode == "dense":
+            new_v, new_C = self._g2p_dense(state.x, grid_v)
+        else:
+            gv = grid_v.reshape(n_cells, 3)[flat]  # (P, 27, 3)
+            new_v = jnp.sum(weight[..., None] * gv, axis=1)
+            new_C = 4.0 * inv_dx * jnp.einsum(
+                "po,poi,poj->pij", weight, gv, dpos_units
+            )
 
         x = state.x + dt * new_v
         J_new = state.J * (1.0 + dt * jnp.trace(new_C, axis1=-2, axis2=-1))
