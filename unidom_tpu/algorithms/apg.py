@@ -249,6 +249,12 @@ def train(
     )
     os.makedirs(logdir, exist_ok=True)
     metrics_file = open(os.path.join(logdir, "metrics.jsonl"), "a")
+    try:  # optional TensorBoard scalars (the reference's SummaryWriter path)
+        from tensorboardX import SummaryWriter
+
+        tb = SummaryWriter(logdir)
+    except Exception:
+        tb = None
 
     env_kwargs = env_kwargs or {}
     env = env_functions[env_name](
@@ -316,6 +322,8 @@ def train(
             with open(os.path.join(logdir, f"apg_{env_name}_{it}.pkl"), "wb") as f:
                 pickle.dump(jax.device_get(ckpt), f)
             print(f"[it {it}] test_reward {test_reward:.4f}")
+            if tb is not None:
+                tb.add_scalar("test_reward", test_reward, it)
 
         t = time.time()
         training_state, metrics = minimize(training_state, first_state)
@@ -333,6 +341,10 @@ def train(
         history.append(rec)
         metrics_file.write(json.dumps(rec) + "\n")
         metrics_file.flush()
+        if tb is not None:
+            tb.add_scalar("train_reward", rec["train_reward"], it)
+            tb.add_scalar("grad_norm", rec["grad_norm"], it)
+            tb.add_scalar("sps", sps, it)
         if it % max(1, eval_freq // 4) == 0:
             print(
                 f"[it {it}] train_reward {rec['train_reward']:.4f} "

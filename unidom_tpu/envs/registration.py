@@ -48,7 +48,15 @@ def _register_mpm():
     )
 
 
+def _register_plb():
+    from unidom_tpu.envs.plb_tasks import PLB_SCENES, make_plb_env
+
+    for name in PLB_SCENES:
+        env_functions[name] = make_plb_env(name)
+
+
 try:
     _register_mpm()
+    _register_plb()
 except ImportError:  # pragma: no cover - during incremental construction
     pass
