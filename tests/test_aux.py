@@ -162,3 +162,35 @@ class TestExpertUI:
 
         for v in expert_ui._KEYMAP.values():
             assert v.shape == (6,)
+
+
+class TestRobotUtils:
+    def test_heightmap(self):
+        from unidom_tpu.serve.robot_utils import get_heightmap
+
+        pts = np.array([[0.5, 0.2, 0.5], [0.5, 0.1, 0.5], [np.nan] * 3])
+        hm = get_heightmap(pts, grid_size=0.1)
+        assert hm.shape == (10, 10)
+        assert abs(hm[5, 5] - 0.2) < 1e-6  # highest point wins
+
+    def test_transform_and_nan(self):
+        from unidom_tpu.serve.robot_utils import remove_nan, transform_to_base
+
+        tf = np.eye(4); tf[:3, 3] = [1, 2, 3]
+        out = transform_to_base(np.zeros((2, 3)), tf)
+        np.testing.assert_allclose(out, [[1, 2, 3]] * 2)
+        pc = np.array([[0, 0, 0], [np.nan, 0, 0]])
+        assert len(remove_nan(pc)) == 1
+
+    def test_segment_and_rescale(self):
+        from unidom_tpu.serve.robot_utils import (
+            rescale_action_to_workspace,
+            segment_by_color,
+        )
+
+        img = np.zeros((4, 4, 3)); img[1, 1] = [200, 50, 50]
+        m = segment_by_color(img, (150, 0, 0), (255, 100, 100))
+        assert m.sum() == 1 and m[1, 1]
+        a = rescale_action_to_workspace(np.array([0.5, 0, 0.5, 0.5, 0, 0.5]))
+        np.testing.assert_allclose(a[[0, 3]], 0.4)  # midpoint of (0.2, 0.6)
+        np.testing.assert_allclose(a[[2, 5]], 0.0)  # midpoint of (-0.3, 0.3)
