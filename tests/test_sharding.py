@@ -1,0 +1,46 @@
+"""Multi-device sharded training over the 8-device CPU mesh, cloth + MPM."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from dataclasses import replace
+
+from unidom_tpu.algorithms.apg import build_apg
+from unidom_tpu.parallel.mesh import make_env_mesh
+
+
+class TestShardedMPM:
+    def test_whip_rope_sharded_minimize(self):
+        """Full sharded MPM training step (the north-star '4096-env MPM
+        multi-host' path, exercised at CPU-mesh scale)."""
+        from unidom_tpu.engine.mpm import MPMConf
+        from unidom_tpu.envs.mpm_tasks import WhipRopeEnv
+
+        conf = MPMConf(n_grid=32, dt=2e-4, steps=6, E=100.0, nu=0.1,
+                       res=(16, 16, 16), task="whip", goal_path="")
+        env = WhipRopeEnv(batch_size=1, seed=1, max_steps=3, conf=conf)
+        env.reset(jax.random.PRNGKey(0))
+
+        mesh = make_env_mesh()  # 8 CPU devices
+        init_ts, minimize, reset_batch, _ = build_apg(env, episode_length=2,
+                                                      mesh=mesh)
+        ts = init_ts(0)
+        state = reset_batch(jax.random.PRNGKey(1))
+        assert state.x.shape[0] == 8  # 8 devices x 1 env
+        ts, metrics = minimize(ts, state)
+        assert np.isfinite(float(metrics["reward"]))
+        assert np.isfinite(float(metrics["grad_norm"]))
+
+    def test_sharded_batch_lives_on_all_devices(self):
+        from unidom_tpu.engine.cloth import ClothConf
+        from unidom_tpu.envs.cloth_tasks import FoldCloth1Env
+
+        conf = ClothConf(N=20, mem_saving_level=1, n_substeps=5,
+                         gripper_radius=0.08, task="t", goal_path="")
+        env = FoldCloth1Env(batch_size=2, conf=conf)
+        mesh = make_env_mesh()
+        init_ts, minimize, reset_batch, _ = build_apg(env, 2, mesh=mesh)
+        state = reset_batch(jax.random.PRNGKey(0))
+        assert state.x.shape[0] == 16
+        assert len(state.x.sharding.device_set) == 8
