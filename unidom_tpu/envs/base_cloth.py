@@ -14,6 +14,7 @@ cloth_env_para.py:123-133) is folded into the base class behind
 stiffness is traced state, so randomizing it never re-traces.
 """
 
+import glob
 import math
 import os
 from functools import partial
@@ -213,6 +214,74 @@ class ClothEnv:
 
     def get_x_grid(self, state: ClothState):
         return self.simulator.get_x_grid(state.x)
+
+    def collect_goal(self, out_dir=None):
+        """Interactive goal collection (cloth_env.py:245-272): click pick/
+        place pairs until two clicks coincide; saves the final cloud."""
+        assert self.batch_size == 1
+        from unidom_tpu.utils.expert_ui import get_expert_start_end_cloth
+
+        while True:
+            self.simulator.key_global, _ = jax.random.split(self.simulator.key_global)
+            obs, state = self.reset(self.simulator.key_global)
+            valid = True
+            while True:
+                self.render(state)
+                actions = get_expert_start_end_cloth(
+                    np.asarray(self.get_x_grid(state)), np.asarray(self.cloth_mask)
+                )
+                d = np.linalg.norm(actions[0, :3] - actions[0, 3:])
+                if d < 1e-3:
+                    break
+                if d > 0.8:
+                    valid = False
+                    break
+                _, reward, _, info = self.step_diff(jnp.asarray(actions), state)
+                state = info["state"]
+                print("reward", reward)
+            if valid:
+                out_dir = out_dir or os.path.join("goals", self.conf.task)
+                os.makedirs(out_dir, exist_ok=True)
+                np.save(os.path.join(out_dir, "goal.npy"),
+                        np.asarray(self.packed_x(state))[0])
+                return os.path.join(out_dir, "goal.npy")
+
+    def collect_expert_demo(self, num_demo=10, out_dir=None):
+        """Interactive demo collection (cloth_env.py:274-321): records
+        (obs, action, state) episodes as pickles."""
+        assert self.batch_size == 1
+        import pickle
+
+        from unidom_tpu.utils.expert_ui import get_expert_start_end_cloth
+
+        out_dir = out_dir or os.path.join("expert_demo", self.conf.task)
+        os.makedirs(out_dir, exist_ok=True)
+        i = len(glob.glob(os.path.join(out_dir, "*.pkl")))
+        while i < num_demo:
+            self.simulator.key_global, _ = jax.random.split(self.simulator.key_global)
+            obs, state = self.reset(self.simulator.key_global)
+            demo = {"obs": [], "action": [], "state": []}
+            valid = True
+            while True:
+                self.render(state)
+                actions = get_expert_start_end_cloth(
+                    np.asarray(self.get_x_grid(state)), np.asarray(self.cloth_mask)
+                )
+                d = np.linalg.norm(actions[0, :3] - actions[0, 3:])
+                if d < 1e-3:
+                    break
+                if d > 0.8:
+                    valid = False
+                    break
+                demo["state"].append(state)
+                demo["action"].append(actions)
+                demo["obs"].append(obs)
+                obs, reward, _, info = self.step_diff(jnp.asarray(actions), state)
+                state = info["state"]
+            if valid:
+                with open(os.path.join(out_dir, f"demo_{i}.pkl"), "wb") as f:
+                    pickle.dump(demo, f)
+                i += 1
 
     def get_random_fold_action(self, state: ClothState):
         """Random pick/place pair sampled from current particles
