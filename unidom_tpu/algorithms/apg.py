@@ -22,7 +22,7 @@ TPU-native deltas:
 """
 
 import argparse
-import functools
+
 import json
 import os
 import pickle

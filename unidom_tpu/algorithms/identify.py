@@ -14,7 +14,7 @@ Here the dataset is the pickles written by
 import glob
 import os
 import pickle
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ per problem instance costs zero recompiles.
 
 import os
 import pickle
-from functools import partial
+
 from typing import Callable, Optional
 
 import jax

@@ -28,7 +28,7 @@ TPU-first design deltas:
   engine/primitives.py docstring for the off-by-one this fixes).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple, Tuple
 
 import jax

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from unidom_tpu.engine.losses import LossTracker, LossWeights, TargetLoss
-from unidom_tpu.engine.mpm import VON_MISES, MPMConf, MPMSimulator
+from unidom_tpu.engine.mpm import VON_MISES, MPMConf
 from unidom_tpu.envs.base_mpm import MPMEnv
 
 PLB_BASE_CONF = MPMConf(

@@ -17,8 +17,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from unidom_tpu.models.pointnet_ops import (
-    farthest_point_sample,
-    gather_points,
     sample_and_group,
     three_interpolate,
     three_nn,
