@@ -1,0 +1,67 @@
+"""End-to-end MPM training-iteration benchmark (whip_rope by default).
+
+Times full APG iterations (BPTT rollout + backward + adam) on the real
+chip — the only measurement the axon runtime reports faithfully
+(docs/BENCHMARKS.md "Microbenchmark pitfalls"). Variants are selected via
+env vars so head-to-heads run in one interpreter session:
+
+    BENCH_ENV=whip_rope BENCH_NUM_ENVS=64 python scripts/bench_mpm.py
+"""
+
+import json
+import os
+import time
+
+import jax
+
+
+def main():
+    env_name = os.environ.get("BENCH_ENV", "whip_rope")
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 64))
+    ep_len = int(os.environ.get("BENCH_EP_LEN", 3))
+    iters = int(os.environ.get("BENCH_ITERS", 3))
+
+    from unidom_tpu.algorithms.apg import build_apg
+    from unidom_tpu.envs.registration import env_functions
+    from unidom_tpu.parallel.mesh import make_env_mesh
+
+    mesh = make_env_mesh()
+    n_dev = mesh.devices.size
+    num_envs = max(num_envs // n_dev, 1) * n_dev
+
+    env = env_functions[env_name](batch_size=num_envs // n_dev)
+    env.reset(jax.random.PRNGKey(0))  # MPM envs size their obs at reset
+
+    init_ts, minimize, reset_batch, _ = build_apg(
+        env, episode_length=ep_len, learning_rate=1e-4,
+        max_gradient_norm=0.3, mesh=mesh,
+    )
+    ts = init_ts(0)
+    state = reset_batch(jax.random.PRNGKey(0))
+
+    t0 = time.time()
+    ts, metrics = minimize(ts, state)
+    jax.block_until_ready(metrics)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(iters):
+        ts, metrics = minimize(ts, state)
+    jax.block_until_ready(metrics)
+    dt = (time.time() - t0) / iters
+
+    sps = ep_len * num_envs / dt / n_dev
+    print(json.dumps({
+        "metric": f"{env_name} APG env-steps/s/chip (fwd+bwd)",
+        "value": round(sps, 2),
+        "unit": "steps/s/chip",
+        "vs_baseline": 1.0,
+        "num_envs": num_envs,
+        "ep_len": ep_len,
+        "iter_walltime_s": round(dt, 3),
+        "compile_s": round(compile_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
