@@ -84,6 +84,9 @@ class MPMConf:
     seed: int = 0
     task: str = "mpm"
     goal_path: str = ""
+    backend: str = "auto"  # "auto" | "pallas" | "xla": "pallas" swaps the
+    # substep scan for the fused VMEM-resident macro-step kernel
+    # (ops/pallas/mpm_kernel.py); "auto" enables it on TPU when eligible.
     transfer: str = "auto"  # "auto" | "scatter" | "dense": particle<->grid
     # transfer scheme. "dense" is the separable tensor-product form (three
     # per-axis B-spline basis matrices contracted on the MXU — no
@@ -220,6 +223,48 @@ class MPMSimulator:
         self.transfer_mode = self._pick_transfer()
         self.step = self._build_step()
         self.step_batch = jax.vmap(self.step)
+        self.backend = "xla"
+        self._maybe_enable_pallas()
+
+    def _maybe_enable_pallas(self):
+        """Swap step_batch for the fused VMEM-resident macro-step kernel
+        (ops/pallas/mpm_kernel.py) when eligible; 'auto' requires TPU."""
+        want = self.conf.backend
+        if want == "xla":
+            return
+        from unidom_tpu.ops.pallas.mpm_kernel import (
+            build_mpm_step_kernel,
+            mpm_kernel_supported,
+        )
+
+        if not mpm_kernel_supported(self):
+            if want == "pallas":
+                raise ValueError("backend='pallas' but config unsupported")
+            return
+        try:
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        if want == "auto" and not on_tpu:
+            return
+        kernel_step = build_mpm_step_kernel(self, interpret=(not on_tpu))
+        conf = self.conf
+
+        def step_batch(state, action):
+            state = jax.vmap(scrub_mpm_state)(state)
+            action = jax.vmap(clamp_grad_norm_tree)(action)
+            action = action.clip(-1.0, 1.0)
+            prims = tuple(
+                jax.vmap(lambda a, p, i=i: set_action(
+                    conf.steps, a[i * 6 : (i + 1) * 6], p
+                ))(action, p)
+                for i, p in enumerate(state.primitives)
+            )
+            state = state._replace(primitives=prims)
+            return kernel_step(state, action)
+
+        self.step_batch = step_batch
+        self.backend = "pallas"
 
     def _pick_transfer(self):
         conf = self.conf

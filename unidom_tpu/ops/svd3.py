@@ -69,12 +69,23 @@ def _apply_jacobi(S, V, p, q):
 
 def _eigh3_soa(M):
     """Cyclic-Jacobi eigendecomposition of symmetric 3x3 batches in
-    component form. Returns (w, V) with ``M ~= V diag(w) V^T``."""
-    S = M
-    V = m3.eye_like(M[0][0])
-    for _ in range(_JACOBI_SWEEPS):
+    component form. Returns (w, V) with ``M ~= V diag(w) V^T``.
+
+    The sweep loop is a ``fori_loop`` rather than a Python unroll: this
+    sits inside every physics substep (and inside the Pallas MPM kernel,
+    where a 6x-unrolled body overflows the TPU backend's register
+    allocator); it is never reverse-differentiated through because
+    ``svd3_soa``/``svd3`` carry a custom VJP."""
+
+    def sweep(_, SV):
+        S, V = SV
         for (p, q) in ((0, 1), (0, 2), (1, 2)):
             S, V = _apply_jacobi(S, V, p, q)
+        return S, V
+
+    S, V = jax.lax.fori_loop(
+        0, _JACOBI_SWEEPS, sweep, (M, m3.eye_like(M[0][0]))
+    )
     return m3.diag(S), V
 
 
