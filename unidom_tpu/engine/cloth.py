@@ -113,7 +113,11 @@ class ClothSimulator:
         self.collision_func = collision_func
 
         N = conf.N
-        mask = np.asarray(cloth_mask)
+        # Construction must stay on host: under the axon backend a single
+        # device->host read (np.asarray of a jax array) blocks ~30s on the
+        # tunnel. Masks arrive as numpy; jnp copies are made once, host->device.
+        mask = np.asarray(cloth_mask) if not isinstance(cloth_mask, np.ndarray) else cloth_mask
+        self.cloth_mask_np = mask
         self.cloth_mask = jnp.asarray(mask)
 
         idx_i, idx_j = np.nonzero(mask)
@@ -145,8 +149,10 @@ class ClothSimulator:
         valid = (rest != 0.0).astype(np.float32)
         valid *= mask[nbr_clipped[..., 0], nbr_clipped[..., 1]].astype(np.float32)
         valid *= mask_bbox[..., None].astype(np.float32)  # sources outside mask are inert
-        self.rest_len = jnp.asarray(np.clip(rest, 1e-12, np.inf), np.float32)[..., None]
-        self.nbr_valid = jnp.asarray(valid)[..., None]  # (H, W, 8, 1)
+        self.rest_len_np = np.clip(rest, 1e-12, np.inf).astype(np.float32)[..., None]
+        self.nbr_valid_np = valid[..., None].astype(np.float32)  # (H, W, 8, 1)
+        self.rest_len = jnp.asarray(self.rest_len_np)
+        self.nbr_valid = jnp.asarray(self.nbr_valid_np)
 
         self.indices = self._build_triangles(mask)
         self.key_global = jax.random.PRNGKey(conf.seed)

@@ -17,6 +17,7 @@ stiffness is traced state, so randomizing it never re-traces.
 import glob
 import math
 import os
+import sys
 from functools import partial
 
 import jax
@@ -88,7 +89,10 @@ class ClothEnv:
     def _load_goal(self, goal_path):
         if goal_path and os.path.exists(goal_path):
             return jnp.asarray(np.load(goal_path))
-        print(f"**************** Warning: goal file {goal_path!r} does not exist!")
+        if goal_path:  # an explicit path that is missing is worth a warning;
+            # an empty path means "no goal requested" and must stay silent on
+            # library paths (stdout is the bench JSON contract).
+            print(f"Warning: goal file {goal_path!r} does not exist!", file=sys.stderr)
         return jnp.zeros((1, 3))
 
     # -------------------------------------------------------------- #

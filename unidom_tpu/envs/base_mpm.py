@@ -11,6 +11,7 @@ by the volume ratio.
 
 import math
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -65,7 +66,9 @@ class MPMEnv:
     def _load_goal(self, goal_path):
         if goal_path and os.path.exists(goal_path):
             return jnp.asarray(np.load(goal_path))
-        print(f"**************** Warning: goal file {goal_path!r} does not exist!")
+        if goal_path:  # silent when no goal was requested: stdout is the
+            # bench JSON contract on library/driver paths.
+            print(f"Warning: goal file {goal_path!r} does not exist!", file=sys.stderr)
         return jnp.zeros((1, 3))
 
     # -------------------------------------------------------------- #

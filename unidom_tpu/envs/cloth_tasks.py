@@ -32,7 +32,7 @@ def _goal(task):
 def _rect_mask(N, size):
     mask = np.zeros((N, N), dtype=np.float32)
     mask[size * 2 : size * 3, size * 2 : size * 4] = 1.0
-    return jnp.asarray(mask)
+    return mask  # numpy: simulator construction stays host-side (axon read cost)
 
 
 class FoldCloth1Env(ClothEnv):
@@ -155,7 +155,7 @@ def _tshirt_mask(N):
     mask = np.zeros((N, N), dtype=np.float32)
     c = N // 2
     mask[c - h_size : c + h_size, c - h_size : c + h_size] = m
-    return jnp.asarray(mask)
+    return mask  # numpy: simulator construction stays host-side (axon read cost)
 
 
 class FoldTshirtEnv(ClothEnv):

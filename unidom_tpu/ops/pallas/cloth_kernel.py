@@ -64,14 +64,16 @@ def build_cloth_robot_step_kernel(sim, interpret=False):
     damping = float(np.exp(-conf.damping * conf.dt))
     small = conf.small_num
     max_v = conf.max_v
-    P_scale = float(np.asarray(sim.cloth_mask).sum())
+    # Host-side numpy copies from the simulator (never read back from device:
+    # a device->host read blocks ~30s on the axon tunnel at construction).
+    P_scale = float(sim.cloth_mask_np.sum())
 
     links = np.array([[-1, 0], [1, 0], [0, -1], [0, 1],
                       [-1, -1], [1, -1], [-1, 1], [1, 1]])
     shifts = [int(-(di * W + dj)) for (di, dj) in links]
     # (8, HW) spring constants — passed as kernel inputs (broadcast blocks)
-    rest_np = np.asarray(sim.rest_len[..., 0]).reshape(HW, 8).T.copy()
-    valid_np = np.asarray(sim.nbr_valid[..., 0]).reshape(HW, 8).T.copy()
+    rest_np = sim.rest_len_np[..., 0].reshape(HW, 8).T.copy()
+    valid_np = sim.nbr_valid_np[..., 0].reshape(HW, 8).T.copy()
     REST_IN = jnp.asarray(rest_np, jnp.float32)  # (8, HW)
     VALID_IN = jnp.asarray(valid_np, jnp.float32)
 
