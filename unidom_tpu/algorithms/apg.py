@@ -143,14 +143,26 @@ def build_apg(
         )
         return new_ts, metrics
 
-    minimize = shard_map(
-        _minimize_local,
-        mesh=mesh,
-        in_specs=(P(), P("env")),
-        out_specs=(P(), P()),
-        check_vma=False,
+    minimize_jit = jax.jit(
+        shard_map(
+            _minimize_local,
+            mesh=mesh,
+            in_specs=(P(), P("env")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
     )
-    minimize = jax.jit(minimize)
+
+    def minimize(training_state, state):
+        return minimize_jit(training_state, state)
+
+    # testing hook: the pieces needed to recompute the sharded update
+    # serially on one device (tests/test_sharding.py invariance check)
+    minimize.debug = {
+        "loss_grad": loss_grad,
+        "optimizer": optimizer,
+        "max_gradient_norm": max_gradient_norm,
+    }
 
     # ---------------- reset over the global batch ---------------- #
 
