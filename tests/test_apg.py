@@ -133,3 +133,23 @@ class TestAPG:
             grads.append(float(metrics["grad_norm"]))
         assert all(np.isfinite(g) for g in grads)
         assert any(g > 0 for g in grads)
+
+    def test_eval_gif(self, tiny_env, tmp_path):
+        """save_gif writes a real animated GIF from the eval rollout
+        (reference apg.py:318-330)."""
+        from unidom_tpu.algorithms.apg import _write_eval_gif
+
+        init_ts, _, _, run_eval = build_apg(tiny_env, 2, mesh=make_env_mesh(1))
+        ts = init_ts(0)
+        _, state = tiny_env.reset(jax.random.PRNGKey(3))
+        _, actions, _ = run_eval(
+            ts.policy_params, ts.normalizer_params, state, jax.random.PRNGKey(1)
+        )
+        path = _write_eval_gif(tiny_env, state, actions, str(tmp_path / "eval.gif"))
+        import imageio
+
+        frames = imageio.mimread(path)
+        # animated: many frames survive GIF re-encode (writer may merge
+        # identical consecutive frames); 3 macro steps x 40 sub-actions in
+        assert len(frames) > tiny_env.max_steps
+        assert frames[0].shape[-1] in (3, 4)

@@ -223,3 +223,29 @@ class TestGradOps:
         small = {"a": jnp.ones(4) * 0.01}
         same = global_norm_clip(small, 0.3)
         np.testing.assert_allclose(np.asarray(same["a"]), 0.01, rtol=1e-6)
+
+
+def test_chamfer_chunked_matches_dense():
+    """The chunked+remat chamfer path (engaged at large B*Nx*Ny) must equal
+    the dense Gram path, values and gradients."""
+    import unidom_tpu.ops.metrics as M
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (4, 256, 3))
+    goal = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+
+    dense = M.chamfer(x, goal)
+    orig = M._CHAMFER_DENSE_LIMIT
+    try:
+        M._CHAMFER_DENSE_LIMIT = 0  # force the chunked path
+        chunked = M.chamfer(x, goal)
+        g_dense_fn = jax.grad(lambda x_: M.chamfer(x_, goal).sum())
+        M._CHAMFER_DENSE_LIMIT = orig
+        g_dense = g_dense_fn(x)
+        M._CHAMFER_DENSE_LIMIT = 0
+        g_chunked = jax.grad(lambda x_: M.chamfer(x_, goal).sum())(x)
+    finally:
+        M._CHAMFER_DENSE_LIMIT = orig
+
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_chunked), np.asarray(g_dense), rtol=1e-3, atol=1e-5)

@@ -226,6 +226,22 @@ def build_apg(
     return init_training_state, minimize, reset_batch, run_eval
 
 
+def _write_eval_gif(env, first_state, action_list, path, fps=10):
+    """Replay an eval action sequence through ``step_with_render`` and save
+    the frames (the reference's eval GIF path, apg.py:318-330 + imageio).
+    """
+    import imageio
+
+    state = first_state
+    frames = []
+    for t in range(action_list.shape[0]):
+        _, _, _, info = env.step_with_render(action_list[t], state)
+        frames.extend(info["img_list"])
+        state = info["state"]
+    imageio.mimsave(path, frames, fps=fps)
+    return path
+
+
 # ---------------------------------------------------------------------- #
 # CLI trainer
 # ---------------------------------------------------------------------- #
@@ -250,7 +266,9 @@ def train(
     env_kwargs: Optional[dict] = None,
 ):
     from unidom_tpu.envs.registration import env_functions
+    from unidom_tpu.utils.cache import enable_compilation_cache
 
+    enable_compilation_cache()
     mesh = make_env_mesh(num_devices)
     n_devices = mesh.devices.size
     assert num_envs % n_devices == 0, (num_envs, n_devices)
@@ -336,6 +354,11 @@ def train(
             print(f"[it {it}] test_reward {test_reward:.4f}")
             if tb is not None:
                 tb.add_scalar("test_reward", test_reward, it)
+            if save_gif:
+                _write_eval_gif(
+                    eval_env, eval_first_state, action_list,
+                    os.path.join(logdir, f"eval_{it}.gif"),
+                )
 
         t = time.time()
         training_state, metrics = minimize(training_state, first_state)
@@ -384,6 +407,8 @@ def main(argv=None):
     parser.add_argument("--logdir", default=None)
     parser.add_argument("--resume", default=None)
     parser.add_argument("--lr_decay", action="store_true")
+    parser.add_argument("--save_gif", action="store_true",
+                        help="write an eval rollout GIF to the logdir at every eval")
     args = parser.parse_args(argv)
 
     train(
@@ -400,6 +425,7 @@ def main(argv=None):
         truncation_length=args.truncation_length,
         logdir=args.logdir,
         resume=args.resume,
+        save_gif=args.save_gif,
         lr_decay=args.lr_decay,
     )
 

@@ -8,6 +8,7 @@ materializing (B, Nx, Ny, 3) broadcast tensors
 daxbench/core/envs/others/metric.py:4-27).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,15 +23,43 @@ def _pairwise_rms(x, y):
     return jnp.sqrt(jnp.clip(d2, 0.0, None) / x.shape[-1])
 
 
+# Above this many pairwise-distance elements the (B, Nx, Ny) tensor (plus its
+# BPTT residual) dominates HBM — e.g. fold_cloth3 @1024 envs x 512x512 goal is
+# 1 GB *per macro step*. Chunk + remat instead.
+_CHAMFER_DENSE_LIMIT = 2**26
+_CHAMFER_CHUNK = 128
+
+
 def chamfer(x, goal):
     """Bidirectional chamfer distance per batch element.
 
     x: (B, Nx, 3) particles; goal: (Ny, 3). Returns (B,).
+
+    Large batches use a scan over x-chunks with ``jax.checkpoint`` so the
+    pairwise block is recomputed in the backward pass instead of living in
+    HBM for the whole BPTT horizon (numerically identical up to fp
+    reassociation of the mean).
     """
-    d = _pairwise_rms(x, goal)
-    x2y = d.min(-1).mean(-1)
-    y2x = d.min(-2).mean(-1)
-    return x2y + y2x
+    B, Nx, _ = x.shape
+    Ny = goal.shape[0]
+    chunk = _CHAMFER_CHUNK
+    if B * Nx * Ny <= _CHAMFER_DENSE_LIMIT or Nx % chunk != 0:
+        d = _pairwise_rms(x, goal)
+        x2y = d.min(-1).mean(-1)
+        y2x = d.min(-2).mean(-1)
+        return x2y + y2x
+
+    xc = x.reshape(B, Nx // chunk, chunk, 3).transpose(1, 0, 2, 3)
+
+    @jax.checkpoint
+    def body(carry, xi):
+        x2y_sum, y2x_min = carry
+        d = _pairwise_rms(xi, goal)  # (B, chunk, Ny)
+        return (x2y_sum + d.min(-1).sum(-1), jnp.minimum(y2x_min, d.min(-2))), None
+
+    init = (jnp.zeros((B,), x.dtype), jnp.full((B, Ny), jnp.inf, x.dtype))
+    (x2y_sum, y2x_min), _ = jax.lax.scan(body, init, xc)
+    return x2y_sum / Nx + y2x_min.mean(-1)
 
 
 def l2_distance(x, goal):

@@ -26,6 +26,8 @@ def render_points_topdown(points, size=256, radius=1, bg=0.12, extra=None):
     img = np.full((size, size, 3), bg, np.float32)
     pts = np.asarray(points)
     if pts.size:
+        pts = pts[np.isfinite(pts).all(-1)]  # inactive grippers are NaN
+    if pts.size:
         px = np.clip((pts[:, 0] * size).astype(int), 0, size - 1)
         py = np.clip((pts[:, 2] * size).astype(int), 0, size - 1)
         order = np.argsort(pts[:, 1])  # paint low first, high last
@@ -36,8 +38,10 @@ def render_points_topdown(points, size=256, radius=1, bg=0.12, extra=None):
                 qy = np.clip(py + dz, 0, size - 1)
                 img[qy[order], qx[order]] = colors[order]
     for (xyz, rgb, r) in extra or []:
-        cx = int(np.clip(xyz[0] * size, 0, size - 1))
-        cy = int(np.clip(xyz[2] * size, 0, size - 1))
+        if not np.all(np.isfinite(np.asarray(xyz, dtype=np.float64)[:3])):
+            continue  # e.g. a gripper that has not picked yet
+        cx = int(np.clip(float(xyz[0]), 0.0, 1.0) * (size - 1))
+        cy = int(np.clip(float(xyz[2]), 0.0, 1.0) * (size - 1))
         y0, y1 = max(cy - r, 0), min(cy + r + 1, size)
         x0, x1 = max(cx - r, 0), min(cx + r + 1, size)
         img[y0:y1, x0:x1] = rgb
@@ -48,6 +52,8 @@ def render_points_front(points, size=256, radius=1, bg=0.12):
     """Front view (x horizontal, y vertical)."""
     img = np.full((size, size, 3), bg, np.float32)
     pts = np.asarray(points)
+    if pts.size:
+        pts = pts[np.isfinite(pts).all(-1)]
     if pts.size:
         px = np.clip((pts[:, 0] * size).astype(int), 0, size - 1)
         py = np.clip(((1.0 - pts[:, 1] * 2.0) * (size - 1)).astype(int), 0, size - 1)
