@@ -114,3 +114,24 @@ class TestResume:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         ts3, metrics = minimize(ts2, state)
         assert np.isfinite(float(metrics["reward"]))
+
+
+def test_depth_obs_type():
+    """DEPTH observation switch (reference cloth_env.py:97-132): (B,320,320,1)
+    heightmap; highest particle wins each pixel."""
+    from unidom_tpu.engine.cloth import ClothConf
+    from unidom_tpu.envs.cloth_tasks import FoldCloth1Env
+
+    conf = ClothConf(N=20, mem_saving_level=1, n_substeps=5, task="t", goal_path="")
+    env = FoldCloth1Env(batch_size=2, conf=conf, obs_type="DEPTH")
+    assert env.observation_size == 320 * 320
+    _, state = env.reset(jax.random.PRNGKey(0))
+    obs = env.get_obs(state)
+    assert obs.shape == (2, 320, 320, 1)
+    o = np.asarray(obs)
+    assert np.isfinite(o).all()
+    assert (o > 0).sum() > 0  # cloth leaves a footprint
+
+    import pytest
+    with pytest.raises(NotImplementedError):
+        FoldCloth1Env(batch_size=1, conf=conf, obs_type="RGB")

@@ -47,6 +47,7 @@ class ClothEnv:
         aux_reward: bool = False,
         param_obs: bool = False,
         eval_min_max_stiff=(10.0, 1800.0),
+        obs_type: str = "PARTICLE",
     ):
         cloth_mask = self.create_cloth_mask(conf)
         self.simulator = ClothSimulator(conf, batch_size, self.get_collision_func(), cloth_mask)
@@ -62,7 +63,14 @@ class ClothEnv:
 
         num_p = self.simulator.n_particles
         self.n_particles = num_p
-        self.observation_size = num_p * 3 + 8 + (1 if param_obs else 0)
+        if obs_type not in (self.PARTICLE, self.DEPTH):
+            raise NotImplementedError(f"obs_type {obs_type!r}")
+        self.obs_type = obs_type
+        if obs_type == self.DEPTH:
+            # (320, 320, 1) heightmap (cloth_env.py:99-117)
+            self.observation_size = 320 * 320
+        else:
+            self.observation_size = num_p * 3 + 8 + (1 if param_obs else 0)
         self.seed(conf.seed)
 
         self.goal = self._load_goal(conf.goal_path)
@@ -105,8 +113,11 @@ class ClothEnv:
         return jax.vmap(self.simulator.pack)(state.x)
 
     def get_obs(self, state: ClothState):
-        """Particle observation: positions + both gripper states
-        (+ normalized stiffness when param-conditioned)."""
+        """PARTICLE: positions + both gripper states (+ normalized stiffness
+        when param-conditioned). DEPTH: (320, 320, 1) top-down heightmap
+        (the reference's obs_type switch, cloth_env.py:97-132)."""
+        if self.obs_type == self.DEPTH:
+            return self.state_to_depth(state)
 
         def one(x, p0, p1, stiffness):
             parts = [self.simulator.pack(x).reshape(-1), p0, p1]

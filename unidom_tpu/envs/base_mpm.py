@@ -224,6 +224,19 @@ class MPMEnv:
             self._renderer = ParticleRenderer()
         return self._renderer.render(np.asarray(state.x[0]), visualize)
 
+    def render_volume(self, state, key=None, conf=None, color=None):
+        """SDF ray-marched frame of env 0's particles (the reference's Taichi
+        volume renderer, plb/engine/renderer/renderer.py:22-530; see
+        unidom_tpu/render/volumetric.py). Returns (H, W, 3) uint8."""
+        from unidom_tpu.render.volumetric import VolumeConf, VolumeRenderer
+
+        if not hasattr(self, "_vol_renderer") or (
+            conf is not None and conf != self._vol_renderer.conf
+        ):
+            self._vol_renderer = VolumeRenderer(conf or VolumeConf())
+        self._vol_renderer.set_particles(state.x[0], color)
+        return self._vol_renderer.render_frame(key)
+
     def step_with_render(self, actions, state: MPMState, visualize=False):
         """step_diff plus one frame per sub-action from state_list
         (mpm_env.py:171-183)."""

@@ -39,7 +39,8 @@ class FoldCloth1Env(ClothEnv):
     def __init__(self, batch_size, conf=None, aux_reward=False, seed=1, stiffness=900, **kwargs):
         conf = conf or ClothConf(task="fold_cloth1", goal_path=_goal("fold_cloth1"), seed=seed)
         conf.stiffness = stiffness
-        super().__init__(conf, batch_size, max_steps=3, aux_reward=aux_reward)
+        super().__init__(conf, batch_size, max_steps=3, aux_reward=aux_reward,
+                         obs_type=kwargs.get("obs_type", "PARTICLE"))
 
     def create_cloth_mask(self, conf):
         return _rect_mask(conf.N, conf.size)
@@ -67,6 +68,7 @@ class FoldCloth1ParaEnv(ClothEnv):
             aux_reward=aux_reward,
             param_obs=True,
             eval_min_max_stiff=eval_min_max_stiff,
+            obs_type=kwargs.get("obs_type", "PARTICLE"),
         )
 
     def create_cloth_mask(self, conf):
@@ -76,7 +78,8 @@ class FoldCloth1ParaEnv(ClothEnv):
 class FoldCloth3Env(ClothEnv):
     def __init__(self, batch_size, conf=None, aux_reward=False, seed=1, **kwargs):
         conf = conf or ClothConf(task="fold_cloth3", goal_path=_goal("fold_cloth3"), seed=seed)
-        super().__init__(conf, batch_size, max_steps=4, aux_reward=aux_reward)
+        super().__init__(conf, batch_size, max_steps=4, aux_reward=aux_reward,
+                         obs_type=kwargs.get("obs_type", "PARTICLE"))
 
     def create_cloth_mask(self, conf):
         return _rect_mask(conf.N, conf.size)
@@ -93,7 +96,8 @@ class _UnfoldClothEnv(ClothEnv):
         conf = conf or ClothConf(
             task=task, goal_path=_goal(task), mu=3.0, use_substep_obs=False, seed=seed
         )
-        super().__init__(conf, batch_size, max_steps=15, aux_reward=aux_reward)
+        super().__init__(conf, batch_size, max_steps=15, aux_reward=aux_reward,
+                         obs_type=kwargs.get("obs_type", "PARTICLE"))
 
     def create_cloth_mask(self, conf):
         return _rect_mask(conf.N, conf.size)
@@ -169,7 +173,8 @@ class FoldTshirtEnv(ClothEnv):
             goal_path=_goal("fold_tshirt"),
             seed=seed,
         )
-        super().__init__(conf, batch_size, max_steps=5, aux_reward=aux_reward)
+        super().__init__(conf, batch_size, max_steps=5, aux_reward=aux_reward,
+                         obs_type=kwargs.get("obs_type", "PARTICLE"))
 
     def create_cloth_mask(self, conf):
         return _tshirt_mask(conf.N)
