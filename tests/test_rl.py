@@ -59,3 +59,58 @@ class TestTD3:
         assert len(hist) >= 2
         assert all(np.isfinite(h) for h in hist)
         assert int(ts.it) >= 2
+
+
+class TestKFAC:
+    def test_ppo_kfac_train_steps(self, env):
+        """ACKTR natural-gradient PPO (reference kfac.py:87-243)."""
+        from unidom_tpu.algorithms.ppo import PPO
+
+        ppo = PPO(env, unroll=2, seed=0, optimizer="kfac",
+                  kfac_kwargs={"lr": 0.05, "kl_clip": 1e-3, "Tf": 2})
+        ts, hist = ppo.train(iterations=3)
+        assert len(hist) == 3
+        assert all(np.isfinite(h) for h in hist)
+        # params must move and stay finite
+        leaves = jax.tree_util.tree_leaves(ts.policy_params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    def test_preconditioner_matches_dense_fisher_inverse(self):
+        """On a single linear layer with stationary stats, the K-FAC update
+        must equal (G (x) A + damping)^-1-preconditioned gradient, i.e.
+        Q_g ((Q_g^T dW Q_a) / (d_g d_a^T + la)) Q_a^T."""
+        from unidom_tpu.algorithms.kfac import KFAC
+
+        key = jax.random.PRNGKey(0)
+        din, dout, B = 5, 3, 64
+        import jax.numpy as jnp
+        params = {"params": {"dense_0": {
+            "kernel": jax.random.normal(key, (din, dout)) * 0.1,
+            "bias": jnp.zeros((dout,)),
+        }}}
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, din))
+        g = {"params": {"dense_0": {
+            "kernel": jax.random.normal(jax.random.PRNGKey(2), (din, dout)),
+            "bias": jax.random.normal(jax.random.PRNGKey(3), (dout,)),
+        }}}
+
+        kf = KFAC(lr=1.0, momentum=0.0, kl_clip=1e12, damping=1e-2, Tf=1)
+        st = kf.init({"net": params})
+        fisher = lambda lg: (lg * jax.random.normal(jax.random.PRNGKey(4), (B, dout))).mean()
+        st = kf._update_stats(st, {"net": params}, {"net": (x, fisher)})
+        st = kf._update_eigs(st)
+        out = kf._precondition(st, {"net": g})
+
+        ls = st.layers["net"][0]
+        A = np.asarray(ls.m_aa)
+        G = np.asarray(ls.m_gg)
+        la = 1e-2
+        gw = np.asarray(g["params"]["dense_0"]["kernel"]).T  # (out, in)
+        da, qa = np.linalg.eigh(A)
+        dg, qg = np.linalg.eigh(G)
+        da, dg = da * (da > 1e-6), dg * (dg > 1e-6)
+        v = qg @ ((qg.T @ gw @ qa) / (dg[:, None] * da[None, :] + la)) @ qa.T
+        np.testing.assert_allclose(
+            np.asarray(out["net"]["params"]["dense_0"]["kernel"]), v.T,
+            rtol=1e-4, atol=1e-5,
+        )

@@ -25,8 +25,13 @@ class PPOState(NamedTuple):
 
 
 class PPO:
+    """``optimizer="kfac"`` enables the ACKTR natural-gradient update
+    (reference plb/algorithms/ppo/ppo/algo/{kfac,a2c_acktr}.py; see
+    unidom_tpu/algorithms/kfac.py)."""
+
     def __init__(self, env, lr=3e-4, gamma=0.99, lam=0.95, clip_eps=0.2,
-                 entropy_cost=1e-3, value_cost=0.5, unroll=None, seed=0):
+                 entropy_cost=1e-3, value_cost=0.5, unroll=None, seed=0,
+                 optimizer="adam", kfac_kwargs=None):
         self.env = env
         self.gamma, self.lam = gamma, lam
         self.clip_eps = clip_eps
@@ -38,7 +43,13 @@ class PPO:
         self.policy = make_policy_model(self.dist.param_size, env.observation_size,
                                         hidden=(256, 256))
         self.value = make_policy_model(1, env.observation_size, hidden=(256, 256))
-        self.optim = optax.adam(lr)
+        self.optimizer = optimizer
+        if optimizer == "kfac":
+            from unidom_tpu.algorithms.kfac import KFAC
+
+            self.kfac = KFAC(**(kfac_kwargs or {}))
+        else:
+            self.optim = optax.adam(lr)
         self.seed = seed
         self._train_step = jax.jit(self._build_train_step())
 
@@ -46,7 +57,11 @@ class PPO:
         k = jax.random.PRNGKey(self.seed)
         k, kp, kv = jax.random.split(k, 3)
         pp, vp = self.policy.init(kp), self.value.init(kv)
-        return PPOState(pp, vp, self.optim.init((pp, vp)), k)
+        if self.optimizer == "kfac":
+            opt_state = self.kfac.init({"policy": pp, "value": vp})
+        else:
+            opt_state = self.optim.init((pp, vp))
+        return PPOState(pp, vp, opt_state, k)
 
     # ---------------- rollout ---------------- #
 
@@ -124,8 +139,31 @@ class PPO:
                 (ts.policy_params, ts.value_params),
                 flat(obs), flat(pre), flat(logp), flat(adv), flat(returns),
             )
-            updates, opt_state = self.optim.update(g, ts.opt_state)
-            pp, vp = optax.apply_updates((ts.policy_params, ts.value_params), updates)
+            if self.optimizer == "kfac":
+                # ACKTR Fisher losses (a2c_acktr.py:53-66): policy = mean
+                # log-prob of the taken actions; value = MSE against the
+                # current value + unit gaussian noise.
+                obs_f, pre_f = flat(obs), flat(pre)
+                key, k_noise = jax.random.split(key)
+                v_now = jax.lax.stop_gradient(
+                    self.value.apply(ts.value_params, obs_f).squeeze(-1)
+                )
+                v_target = v_now + jax.random.normal(k_noise, v_now.shape)
+                stat_inputs = {
+                    "policy": (obs_f, lambda lg: -self.dist.log_prob(lg, pre_f).mean()),
+                    "value": (obs_f, lambda v: -((v.squeeze(-1) - v_target) ** 2).mean()),
+                }
+                gp, gv = g
+                params, opt_state = self.kfac.update(
+                    ts.opt_state,
+                    {"policy": ts.policy_params, "value": ts.value_params},
+                    {"policy": gp, "value": gv},
+                    stat_inputs,
+                )
+                pp, vp = params["policy"], params["value"]
+            else:
+                updates, opt_state = self.optim.update(g, ts.opt_state)
+                pp, vp = optax.apply_updates((ts.policy_params, ts.value_params), updates)
             metrics = {"reward": rewards.sum(0).mean(), "v_loss": v_loss, "entropy": ent}
             return PPOState(pp, vp, opt_state, key), env_state, metrics
 
