@@ -277,14 +277,18 @@ def train(
         f"logs/apg/{env_name}/ep{episode_length}_env{num_envs}_lr{learning_rate}"
         f"_it{max_it}_clip{max_gradient_norm}/seed{seed}"
     )
+    # multi-host: artifacts (metrics/ckpt/gif/tensorboard) from process 0 only
+    is_lead = jax.process_index() == 0
     os.makedirs(logdir, exist_ok=True)
-    metrics_file = open(os.path.join(logdir, "metrics.jsonl"), "a")
-    try:  # optional TensorBoard scalars (the reference's SummaryWriter path)
-        from tensorboardX import SummaryWriter
+    metrics_file = open(os.path.join(logdir, "metrics.jsonl"), "a") if is_lead else None
+    tb = None
+    if is_lead:
+        try:  # optional TensorBoard scalars (the reference's SummaryWriter path)
+            from tensorboardX import SummaryWriter
 
-        tb = SummaryWriter(logdir)
-    except Exception:
-        tb = None
+            tb = SummaryWriter(logdir)
+        except Exception:
+            tb = None
 
     env_kwargs = env_kwargs or {}
     env = env_functions[env_name](
@@ -344,21 +348,22 @@ def train(
                 key_eval,
             )
             test_reward = float(reward_list.sum(0).mean())
-            ckpt = {
-                "policy_params": training_state.policy_params,
-                "optimizer_state": training_state.optimizer_state,
-                "it": it,
-            }
-            with open(os.path.join(logdir, f"apg_{env_name}_{it}.pkl"), "wb") as f:
-                pickle.dump(jax.device_get(ckpt), f)
-            print(f"[it {it}] test_reward {test_reward:.4f}")
-            if tb is not None:
-                tb.add_scalar("test_reward", test_reward, it)
-            if save_gif:
-                _write_eval_gif(
-                    eval_env, eval_first_state, action_list,
-                    os.path.join(logdir, f"eval_{it}.gif"),
-                )
+            if is_lead:
+                ckpt = {
+                    "policy_params": training_state.policy_params,
+                    "optimizer_state": training_state.optimizer_state,
+                    "it": it,
+                }
+                with open(os.path.join(logdir, f"apg_{env_name}_{it}.pkl"), "wb") as f:
+                    pickle.dump(jax.device_get(ckpt), f)
+                print(f"[it {it}] test_reward {test_reward:.4f}")
+                if tb is not None:
+                    tb.add_scalar("test_reward", test_reward, it)
+                if save_gif:
+                    _write_eval_gif(
+                        eval_env, eval_first_state, action_list,
+                        os.path.join(logdir, f"eval_{it}.gif"),
+                    )
 
         t = time.time()
         training_state, metrics = minimize(training_state, first_state)
@@ -374,19 +379,21 @@ def train(
             "walltime": time.time() - t_total,
         }
         history.append(rec)
-        metrics_file.write(json.dumps(rec) + "\n")
-        metrics_file.flush()
+        if metrics_file is not None:
+            metrics_file.write(json.dumps(rec) + "\n")
+            metrics_file.flush()
         if tb is not None:
             tb.add_scalar("train_reward", rec["train_reward"], it)
             tb.add_scalar("grad_norm", rec["grad_norm"], it)
             tb.add_scalar("sps", sps, it)
-        if it % max(1, eval_freq // 4) == 0:
+        if is_lead and it % max(1, eval_freq // 4) == 0:
             print(
                 f"[it {it}] train_reward {rec['train_reward']:.4f} "
                 f"grad_norm {rec['grad_norm']:.3f} sps {sps:.1f}"
             )
 
-    metrics_file.close()
+    if metrics_file is not None:
+        metrics_file.close()
     return training_state, history
 
 
@@ -409,7 +416,17 @@ def main(argv=None):
     parser.add_argument("--lr_decay", action="store_true")
     parser.add_argument("--save_gif", action="store_true",
                         help="write an eval rollout GIF to the logdir at every eval")
+    # multi-host bring-up (docs/MULTIHOST.md); all three omitted on Cloud TPU
+    # (auto-detected) and in single-process runs
+    parser.add_argument("--coordinator", default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
+
+    if args.num_processes is not None:
+        from unidom_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes, args.process_id)
 
     train(
         env_name=args.env,
