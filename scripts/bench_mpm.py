@@ -6,6 +6,9 @@ chip — the only measurement the axon runtime reports faithfully
 env vars so head-to-heads run in one interpreter session:
 
     BENCH_ENV=whip_rope BENCH_NUM_ENVS=64 python scripts/bench_mpm.py
+
+BENCH_BACKEND=xla|pallas forces the engine path (default: the conf's own
+"auto", i.e. the fused Pallas kernel wherever it is eligible on TPU).
 """
 
 import json
@@ -29,7 +32,15 @@ def main():
     n_dev = mesh.devices.size
     num_envs = max(num_envs // n_dev, 1) * n_dev
 
-    env = env_functions[env_name](batch_size=num_envs // n_dev)
+    backend = os.environ.get("BENCH_BACKEND", "")
+    kw = {}
+    if backend:
+        import dataclasses
+
+        cls = env_functions[env_name]
+        probe = cls(batch_size=1)
+        kw["conf"] = dataclasses.replace(probe.conf, backend=backend)
+    env = env_functions[env_name](batch_size=num_envs // n_dev, **kw)
     env.reset(jax.random.PRNGKey(0))  # MPM envs size their obs at reset
 
     init_ts, minimize, reset_batch, _ = build_apg(

@@ -120,7 +120,19 @@ def _sdf_box_soa(size, p):
     return out + inner
 
 
-_SOA_SDFS = {"box": _sdf_box_soa}
+def _sdf_container_soa(size, p):
+    """ops/sdf.sdf_container (cut hollow sphere / open bowl) on component
+    planes; size = (radius, cut height, thickness) as (1,1) scalars."""
+    r, h, t = size[0], size[1], size[2]
+    w = jnp.sqrt(jnp.clip(r * r - h * h, 1e-12, None))
+    qx = jnp.sqrt(p[0] ** 2 + p[2] ** 2 + 1e-12)
+    qy = p[1]
+    rim = jnp.sqrt((qx - w) ** 2 + (qy - h) ** 2 + 1e-12) - t
+    shell = jnp.abs(jnp.sqrt(qx * qx + qy * qy + 1e-12) - r) - t
+    return jnp.where(h * qx < w * qy, rim, shell)
+
+
+_SOA_SDFS = {"box": _sdf_box_soa, "container": _sdf_container_soa}
 
 
 def _sdf_normal_soa(sdf, size, p):
@@ -128,6 +140,36 @@ def _sdf_normal_soa(sdf, size, p):
     g = jax.grad(lambda pt: jnp.sum(sdf(size, pt)))(p)
     n = jnp.sqrt(g[0] ** 2 + g[1] ** 2 + g[2] ** 2 + 1e-12)
     return tuple(c / n for c in g)
+
+
+# Budget for one resident history block (the per-segment recompute history
+# and the strided checkpoint history are each one of these). 4 MB leaves
+# room beside the grid planes + transfer transients in 16 MB VMEM.
+_HIST_BUDGET = 4 * 2**20
+
+
+def _chunking(n_particles):
+    pc = min(PC_MAX, -(-n_particles // 8) * 8)
+    nc = -(-n_particles // pc)
+    return pc, nc
+
+
+def _ckpt_stride(steps, nc, pc):
+    """Checkpoint every K substeps so that both the strided checkpoint
+    history (ceil(steps/K) entries) and the per-segment recompute history
+    (K entries) fit the VMEM budget. Returns K (1 = checkpoint every
+    substep, the exact-history fast path). When segmentation is needed,
+    K ~ sqrt(steps): the backward's per-segment recompute kernels and
+    reverse scans are unrolled in Python over ceil(steps/K) segments, so
+    minimizing K explodes graph size / compile time while maximizing K
+    blows the segment history — the sqrt split balances both."""
+    blk = N_COMP * nc * pc * 4
+    max_entries = max(_HIST_BUDGET // blk, 1)
+    if steps <= max_entries:
+        return 1
+    k = int(math.ceil(math.sqrt(steps)))
+    # stay within the budget on both sides
+    return min(max(k, int(-(-steps // max_entries))), max_entries)
 
 
 def mpm_kernel_supported(sim):
@@ -141,10 +183,12 @@ def mpm_kernel_supported(sim):
         return False
     if sim.n_particles > 4096:
         return False
-    # backward scratch: steps x 25 x NC x PC f32 must fit beside the rest
-    pc = min(PC_MAX, -(-sim.n_particles // 8) * 8)
-    nc = -(-sim.n_particles // pc)
-    if conf.steps * N_COMP * nc * pc * 4 > 8 * 2**20:
+    # segmented backward: segment length K and ceil(steps/K) checkpoints
+    # must each fit the history budget
+    pc, nc = _chunking(sim.n_particles)
+    blk = N_COMP * nc * pc * 4
+    k = _ckpt_stride(conf.steps, nc, pc)
+    if k * blk > _HIST_BUDGET or -(-conf.steps // k) * blk > _HIST_BUDGET:
         return False
     return True
 
@@ -167,9 +211,15 @@ def build_mpm_step_kernel(sim, interpret=False):
     P = sim.n_particles
     # chunk width: multiple of 8 sublanes, capped at 128 — smaller chunks
     # for small P shrink the dominant (PC, ryrz) basis planes
-    PC = min(PC_MAX, -(-P // 8) * 8)
-    NC = -(-P // PC)
+    PC, NC = _chunking(P)
     PPAD = NC * PC
+
+    # segmented backward (sqrt-style remat): the forward checkpoints every
+    # CKPT_K-th substep input; the backward recomputes each segment's
+    # per-substep history with a short forward kernel before the reverse
+    # walk. CKPT_K == 1 keeps the original exact-history path.
+    CKPT_K = _ckpt_stride(steps, NC, PC)
+    N_CKPT = -(-steps // CKPT_K)
 
     mat = np.asarray(sim.material)
     consts_np = np.zeros((5, NC, PC), np.float32)
@@ -539,20 +589,29 @@ def build_mpm_step_kernel(sim, interpret=False):
         x, v, C, F, J = _read_carry(state_ref)
         carry0 = (x, v, C, F, J, prims)
 
-        def body(t, carry):
-            # checkpoint the substep *input* carry — the backward scan
-            # re-linearizes each substep around it
+        def _store_ckpt(s, carry):
             x, v, C, F, J, prims = carry
             for i in range(3):
-                hist_ref[0, t, _IX + i] = x[i]
-                hist_ref[0, t, _IV + i] = v[i]
+                hist_ref[0, s, _IX + i] = x[i]
+                hist_ref[0, s, _IV + i] = v[i]
             for i in range(3):
                 for j in range(3):
-                    hist_ref[0, t, _IC + 3 * i + j] = C[i][j]
-                    hist_ref[0, t, _IF + 3 * i + j] = F[i][j]
-            hist_ref[0, t, _IJ] = J
+                    hist_ref[0, s, _IC + 3 * i + j] = C[i][j]
+                    hist_ref[0, s, _IF + 3 * i + j] = F[i][j]
+            hist_ref[0, s, _IJ] = J
             for ip in range(n_prim):
-                hist_prim_ref[0, t, ip] = _traj_row(prims[ip])
+                hist_prim_ref[0, s, ip] = _traj_row(prims[ip])
+
+        def body(t, carry):
+            # checkpoint every CKPT_K-th substep *input* carry — the
+            # backward recomputes within segments and re-linearizes each
+            # substep around its input
+            if CKPT_K == 1:
+                _store_ckpt(t, carry)
+            else:
+                @pl.when(t % CKPT_K == 0)
+                def _():
+                    _store_ckpt(t // CKPT_K, carry)
 
             carry = substep(carry, theta)
             for ip in range(n_prim):
@@ -617,6 +676,13 @@ def build_mpm_step_kernel(sim, interpret=False):
 
     # ---------------- pallas_call plumbing ---------------- #
 
+    # the default scoped-VMEM cap is 16 MB; the backward substep VJP holds
+    # per-chunk linearization residuals live across NC chunks (~30 MB at
+    # shape_rope scale: NC=5, ryrz=384). v5e has 128 MiB physical VMEM —
+    # raise the cap; it is a ceiling, not a reservation, so small configs
+    # (whip_rope) are unaffected.
+    _params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
     def _spec(shape):
         n = len(shape)
         return pl.BlockSpec(
@@ -629,8 +695,8 @@ def build_mpm_step_kernel(sim, interpret=False):
     prim_spec = _spec((n_prim, 1, PRIM_COLS))
     traj_spec = _spec((n_prim, steps + 1, TRAJ_COLS))
     prow_spec = _spec((n_prim, 1, TRAJ_COLS))
-    hist_spec = _spec((steps, N_COMP, NC, PC))
-    hist_prim_spec = _spec((steps, n_prim, 1, TRAJ_COLS))
+    hist_spec = _spec((N_CKPT, N_COMP, NC, PC))
+    hist_prim_spec = _spec((N_CKPT, n_prim, 1, TRAJ_COLS))
     const_spec = pl.BlockSpec(
         (5, NC, PC), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
@@ -646,12 +712,13 @@ def build_mpm_step_kernel(sim, interpret=False):
             out_shape=[
                 jax.ShapeDtypeStruct((B, N_COMP, NC, PC), jnp.float32),
                 jax.ShapeDtypeStruct((B, n_prim, steps + 1, TRAJ_COLS), jnp.float32),
-                jax.ShapeDtypeStruct((B, steps, N_COMP, NC, PC), jnp.float32),
+                jax.ShapeDtypeStruct((B, N_CKPT, N_COMP, NC, PC), jnp.float32),
                 jax.ShapeDtypeStruct(
-                    (B, steps, n_prim, 1, TRAJ_COLS), jnp.float32
+                    (B, N_CKPT, n_prim, 1, TRAJ_COLS), jnp.float32
                 ),
             ],
             interpret=interpret,
+            compiler_params=_params,
         )(*inputs, CONSTS_IN)
 
     def bwd_step_call(saved, saved_prim, inputs, g_state, g_prim):
@@ -670,8 +737,60 @@ def build_mpm_step_kernel(sim, interpret=False):
                 jax.ShapeDtypeStruct((B, n_prim, 1, PRIM_COLS), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=_params,
         )(saved, saved_prim, inputs[1], inputs[2], inputs[3], CONSTS_IN,
           g_state, g_prim)
+
+    # --------- segment-recompute forward (segmented backward only) --------- #
+
+    def _make_seg_kernel(L):
+        """Re-run L substeps from a checkpointed carry, writing each
+        substep's input carry — the per-segment history the reverse walk
+        consumes. Same body as fwd_kernel minus state/traj outputs."""
+
+        def seg_kernel(start_ref, startprim_ref, mat_ref, scal_ref, prim_ref,
+                       const_ref, shist_ref, shist_prim_ref):
+            consts = tuple(const_ref[i] for i in range(5))
+            substep = make_substep(consts)
+            _, prim_theta = _read_prims(prim_ref)
+            theta = _read_theta(mat_ref, scal_ref, prim_theta)
+            x, v, C, F, J = _read_carry(start_ref)
+            carry0 = (x, v, C, F, J, _read_prim_rows(startprim_ref))
+
+            def body(t, carry):
+                x, v, C, F, J, prims = carry
+                for i in range(3):
+                    shist_ref[0, t, _IX + i] = x[i]
+                    shist_ref[0, t, _IV + i] = v[i]
+                for i in range(3):
+                    for j in range(3):
+                        shist_ref[0, t, _IC + 3 * i + j] = C[i][j]
+                        shist_ref[0, t, _IF + 3 * i + j] = F[i][j]
+                shist_ref[0, t, _IJ] = J
+                for ip in range(n_prim):
+                    shist_prim_ref[0, t, ip] = _traj_row(prims[ip])
+                return substep(carry, theta)
+
+            jax.lax.fori_loop(0, L, body, carry0)
+
+        return seg_kernel
+
+    def seg_hist_call(start_state, start_prim, inputs, L):
+        B = start_state.shape[0]
+        return pl.pallas_call(
+            _make_seg_kernel(L),
+            grid=(B,),
+            in_specs=[state_spec, prow_spec, mat_spec, scal_spec, prim_spec,
+                      const_spec],
+            out_specs=[_spec((L, N_COMP, NC, PC)),
+                       _spec((L, n_prim, 1, TRAJ_COLS))],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, L, N_COMP, NC, PC), jnp.float32),
+                jax.ShapeDtypeStruct((B, L, n_prim, 1, TRAJ_COLS), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=_params,
+        )(start_state, start_prim, inputs[1], inputs[2], inputs[3], CONSTS_IN)
 
     @jax.custom_vjp
     def _core(inputs):
@@ -686,8 +805,6 @@ def build_mpm_step_kernel(sim, interpret=False):
         inputs, hist, hist_prim = res
         g_state_out, g_traj = g
 
-        hist_t = jnp.moveaxis(hist, 1, 0)  # (steps, B, N_COMP, NC, PC)
-        hist_prim_t = jnp.moveaxis(hist_prim, 1, 0)
         # traj rows in prow layout: (steps + 1, B, n_prim, 1, TRAJ_COLS);
         # row t+1 was written from substep t's output, row 0 by copy_frame
         gtraj_rows = jnp.moveaxis(g_traj, 2, 0)[:, :, :, None, :]
@@ -703,17 +820,35 @@ def build_mpm_step_kernel(sim, interpret=False):
                 g_ptheta + d_ptheta,
             ), None
 
-        acc0 = (
+        acc = (
             g_state_out,
             gtraj_rows[0],  # copy_frame: traj[0] <- final carry
             jnp.zeros_like(inputs[1]),
             jnp.zeros_like(inputs[2]),
             jnp.zeros_like(inputs[3]),
         )
-        xs = (hist_t[::-1], hist_prim_t[::-1], gtraj_rows[1:][::-1])
-        (d_state, d_primc, d_mat, d_scal, d_ptheta), _ = jax.lax.scan(
-            body, acc0, xs
-        )
+        if CKPT_K == 1:
+            # exact history: one reverse scan over all substeps
+            hist_t = jnp.moveaxis(hist, 1, 0)  # (steps, B, N_COMP, NC, PC)
+            hist_prim_t = jnp.moveaxis(hist_prim, 1, 0)
+            xs = (hist_t[::-1], hist_prim_t[::-1], gtraj_rows[1:][::-1])
+            acc, _ = jax.lax.scan(body, acc, xs)
+        else:
+            # segmented: recompute each segment's per-substep history from
+            # its checkpoint, then reverse-walk it (newest segment first)
+            for s in reversed(range(N_CKPT)):
+                L = min(CKPT_K, steps - s * CKPT_K)
+                seg_hist, seg_prim = seg_hist_call(
+                    hist[:, s], hist_prim[:, s], inputs, L
+                )
+                lo = s * CKPT_K
+                xs = (
+                    jnp.moveaxis(seg_hist, 1, 0)[::-1],
+                    jnp.moveaxis(seg_prim, 1, 0)[::-1],
+                    gtraj_rows[lo + 1 : lo + L + 1][::-1],
+                )
+                acc, _ = jax.lax.scan(body, acc, xs)
+        d_state, d_primc, d_mat, d_scal, d_ptheta = acc
         # initial-carry prim cotangent (pos/rot) into the PRIM_COLS layout
         d_prim = d_ptheta.at[:, :, :, 0:7].add(d_primc[:, :, :, 0:7])
         return ((d_state, d_mat, d_scal, d_prim),)
