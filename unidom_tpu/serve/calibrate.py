@@ -83,6 +83,46 @@ def calibrate_episode(env_cls, record, size=512, **env_kwargs):
     }
 
 
+def replay_episode(before, after, pick, place, settle=True, **env_kwargs):
+    """Replay one recorded real-robot pick-and-place push in simulation.
+
+    Mirrors the reference's compare_file (exp/calibrate.py:96-152): the real
+    clouds are z-up robot frame -> swap axes 1 and 2; the push action is
+    [pick_x, 0, pick_y, place_x, 0, place_y]; an optional null push first
+    lets the rope settle as the reference does (calibrate.py:124-127).
+    Returns chamfer(sim, real_after) before and after the replayed push.
+    """
+    from unidom_tpu.envs.mpm_tasks import ShapeRopeEnv
+
+    before = np.asarray(before, np.float32)[:, [0, 2, 1]]
+    after = np.asarray(after, np.float32)[:, [0, 2, 1]]
+
+    center, angle = rope_pose_from_points(before)
+    env, state = make_env_at_pose(ShapeRopeEnv, center, angle, **env_kwargs)
+    if settle:
+        null_action = jnp.array([[0.08, 0.001, 0.88, 0.12, 0.001, 0.92]])
+        _, _, _, info = env.step_diff(null_action, state)
+        state = info["state"]
+
+    real_next = jnp.asarray(after)
+    d_before = float(chamfer(state.x[:1], real_next)[0])
+
+    action = jnp.array(
+        [[pick[0], 0.0, pick[1], place[0], 0.0, place[1]]], jnp.float32
+    )
+    _, _, _, info = env.step_diff(action, state)
+    sim_next = info["state"].x[0]
+    d_after = float(chamfer(sim_next[None], real_next)[0])
+
+    return {
+        "chamfer_before": d_before,
+        "chamfer_after": d_after,
+        "sim_next": np.asarray(sim_next),
+        "init_center": center,
+        "init_angle": angle,
+    }
+
+
 def calibrate_directory(env_cls, data_dir, pattern="*.pkl", **env_kwargs):
     """Run calibration over every recorded episode (calibrate.py main loop)."""
     results = []
