@@ -134,6 +134,26 @@ class TestAPG:
         assert all(np.isfinite(g) for g in grads)
         assert any(g > 0 for g in grads)
 
+    def test_normalize_obs_updates_and_applies(self, tiny_env):
+        """--normalize_obs wires the running normalizer into the sharded
+        update: statistics accumulate (psum over the env axis, identical on
+        every replica) and the normalized policy input stays finite."""
+        mesh = make_env_mesh()
+        init_ts, minimize, reset_batch, _ = build_apg(
+            tiny_env, episode_length=2, mesh=mesh, normalize_obs=True
+        )
+        ts = init_ts(0)
+        assert float(ts.normalizer_params.count) == 0.0
+        state = reset_batch(jax.random.PRNGKey(0))
+        ts2, metrics = minimize(ts, state)
+        # 2 scan steps x 8 envs of rollout observations folded in
+        assert float(ts2.normalizer_params.count) == 16.0
+        assert np.all(np.isfinite(np.asarray(ts2.normalizer_params.mean)))
+        assert float(jnp.abs(ts2.normalizer_params.mean).max()) > 0
+        ts3, metrics = minimize(ts2, state)
+        assert float(ts3.normalizer_params.count) == 32.0
+        assert np.isfinite(float(metrics["reward"]))
+
     def test_eval_gif(self, tiny_env, tmp_path):
         """save_gif writes a real animated GIF from the eval rollout
         (reference apg.py:318-330)."""

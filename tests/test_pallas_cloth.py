@@ -64,6 +64,28 @@ class TestForwardParity:
         np.testing.assert_allclose(np.asarray(out.action0),
                                    np.asarray(ref.action0), atol=1e-7)
 
+    @pytest.mark.parametrize("B", [1, 2, 5])
+    def test_small_batch_padding(self, setup, B):
+        """Batches below/off BLOCK_ENVS must tile-pad to a full block: a
+        short fill (old `t[:pad]` with pad > B) left a zero pallas grid and
+        uninitialized outputs (regression: fold_cloth1 eval NaN at
+        num_eval_envs=2 on TPU)."""
+        sim, state, kernel_step = setup
+        sub = jax.tree_util.tree_map(lambda t: t[:B], state)
+        action = _action()[:B]
+        ref, _ = sim.step_batch(sub, action)
+        out, _ = kernel_step(sub, action)
+        assert out.x.shape[0] == B
+        np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v),
+                                   rtol=1e-4, atol=1e-4)
+        # gradients flow only through the real rows
+        g = jax.grad(lambda s, a: kernel_step(s, a)[0].x.sum(), argnums=1)(
+            sub, action)
+        assert g.shape[0] == B
+        assert np.all(np.isfinite(np.asarray(g)))
+
     def test_two_steps_stay_consistent(self, setup):
         sim, state, kernel_step = setup
         action = _action()

@@ -38,7 +38,11 @@ from jax import shard_map
 
 from unidom_tpu.models.distribution import NormalTanhDistribution
 from unidom_tpu.models.mlp import make_policy_model
-from unidom_tpu.models.normalizer import create_observation_normalizer
+from unidom_tpu.models.normalizer import (
+    create_observation_normalizer,
+    normalize,
+    update_normalizer,
+)
 from unidom_tpu.ops.gradops import global_norm_clip
 from unidom_tpu.parallel.mesh import make_env_mesh
 
@@ -62,6 +66,7 @@ def build_apg(
     truncation_length: Optional[int] = None,
     mesh=None,
     lr_decay_iters: Optional[int] = None,
+    normalize_obs: bool = False,
 ):
     """Build (training_state, minimize, reset_batch, run_eval) for ``env``.
 
@@ -86,6 +91,8 @@ def build_apg(
         state, params, normalizer_params, key = carry
         key, key_sample = jax.random.split(key)
         obs = env.get_obs(state)
+        if normalize_obs:
+            obs = normalize(normalizer_params, obs)
         logits = policy_model.apply(params, obs)
         actions = dist.sample(logits, key_sample)
         if env.action_squash == "sigmoid":
@@ -124,6 +131,15 @@ def build_apg(
         grad = global_norm_clip(grad_raw, max_gradient_norm)
         grad = jax.lax.pmean(grad, axis_name="env")
 
+        normalizer_params = training_state.normalizer_params
+        if normalize_obs:
+            # moments from this iteration's rollout states; psum over the env
+            # axis keeps every replica's statistics identical (brax contract)
+            rollout_obs = jax.vmap(env.get_obs)(state_list)
+            normalizer_params = update_normalizer(
+                normalizer_params, rollout_obs, axis_name="env"
+            )
+
         params_update, optimizer_state = optimizer.update(
             grad, training_state.optimizer_state
         )
@@ -137,7 +153,7 @@ def build_apg(
         }
         new_ts = TrainingState(
             key=key,
-            normalizer_params=training_state.normalizer_params,
+            normalizer_params=normalizer_params,
             optimizer_state=optimizer_state,
             policy_params=policy_params,
         )
@@ -193,6 +209,8 @@ def build_apg(
         state, params, normalizer_params, key = carry
         key, key_sample = jax.random.split(key)
         obs = env.get_obs(state)
+        if normalize_obs:
+            obs = normalize(normalizer_params, obs)
         logits = policy_model.apply(params, obs)
         actions = dist.sample(logits, key_sample)
         if env.action_squash == "sigmoid":
@@ -263,6 +281,7 @@ def train(
     resume: Optional[str] = None,
     save_gif: bool = False,
     lr_decay: bool = False,
+    normalize_obs: bool = False,
     env_kwargs: Optional[dict] = None,
 ):
     from unidom_tpu.envs.registration import env_functions
@@ -306,6 +325,7 @@ def train(
         truncation_length,
         mesh,
         lr_decay_iters=max_it if lr_decay else None,
+        normalize_obs=normalize_obs,
     )
     _, _, eval_reset, run_eval = build_apg(
         eval_env,
@@ -314,6 +334,7 @@ def train(
         max_gradient_norm,
         None,
         make_env_mesh(1),
+        normalize_obs=normalize_obs,
     )
 
     training_state = init_ts(seed)
@@ -323,6 +344,9 @@ def train(
         training_state = training_state._replace(
             policy_params=saved["policy_params"],
             optimizer_state=saved.get("optimizer_state", training_state.optimizer_state),
+            normalizer_params=saved.get(
+                "normalizer_params", training_state.normalizer_params
+            ),
         )
         print(f"resumed from {resume}")
 
@@ -352,6 +376,7 @@ def train(
                 ckpt = {
                     "policy_params": training_state.policy_params,
                     "optimizer_state": training_state.optimizer_state,
+                    "normalizer_params": training_state.normalizer_params,
                     "it": it,
                 }
                 with open(os.path.join(logdir, f"apg_{env_name}_{it}.pkl"), "wb") as f:
@@ -414,6 +439,10 @@ def main(argv=None):
     parser.add_argument("--logdir", default=None)
     parser.add_argument("--resume", default=None)
     parser.add_argument("--lr_decay", action="store_true")
+    parser.add_argument("--normalize_obs", action="store_true",
+                        help="running-moment observation normalization "
+                             "(off by default: reference parity, its brax "
+                             "normalizer apply is commented out, apg.py:182)")
     parser.add_argument("--save_gif", action="store_true",
                         help="write an eval rollout GIF to the logdir at every eval")
     # multi-host bring-up (docs/MULTIHOST.md); all three omitted on Cloud TPU
@@ -444,6 +473,7 @@ def main(argv=None):
         resume=args.resume,
         save_gif=args.save_gif,
         lr_decay=args.lr_decay,
+        normalize_obs=args.normalize_obs,
     )
 
 

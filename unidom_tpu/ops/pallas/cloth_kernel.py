@@ -392,10 +392,16 @@ def build_cloth_robot_step_kernel(sim, interpret=False):
         B_real = state.x.shape[0]
         pad = (-B_real) % BLOCK_ENVS
         if pad:
-            state = jax.tree_util.tree_map(
-                lambda t: jnp.concatenate([t, t[:pad]], axis=0), state
-            )
-            action = jnp.concatenate([action, action[:pad]], axis=0)
+            # pad may exceed B_real (e.g. B=2 -> pad=6): tile, don't slice —
+            # a short fill row count would leave B % BLOCK_ENVS != 0, a zero
+            # pallas grid, and uninitialized outputs.
+            reps = -(-pad // B_real)
+
+            def _fill(t):
+                return jnp.concatenate([t] + [t] * reps, axis=0)[: B_real + pad]
+
+            state = jax.tree_util.tree_map(_fill, state)
+            action = _fill(action)
         B = state.x.shape[0]
         inputs, (action0, action1) = _pack(state, action)
         x0, x1, x2, v0, v1, v2, nps0, nps1 = _core(inputs)
