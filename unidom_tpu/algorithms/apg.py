@@ -317,6 +317,14 @@ def train(
         batch_size=num_eval_envs, seed=seed + 666, **env_kwargs
     )
 
+    key_env = jax.random.split(jax.random.PRNGKey(seed), 2)[0]
+    key_eval = jax.random.PRNGKey(seed + 666)
+    # MPM/host-reset envs size their observation space at first reset; this
+    # must happen BEFORE build_apg reads env.observation_size for the policy
+    if env.reset_mode in ("auto_reset", "host_reset"):
+        env.reset(key_env)
+    _, eval_first_state = eval_env.reset(key_eval)
+
     init_ts, minimize, reset_batch, _ = build_apg(
         env,
         episode_length,
@@ -349,14 +357,6 @@ def train(
             ),
         )
         print(f"resumed from {resume}")
-
-    key_env = jax.random.split(jax.random.PRNGKey(seed), 2)[0]
-    key_eval = jax.random.PRNGKey(seed + 666)
-    _, eval_first_state = eval_env.reset(key_eval)
-
-    # host-reset envs build their init scene once
-    if env.reset_mode in ("auto_reset", "host_reset"):
-        env.reset(key_env)
 
     history = []
     t_total = time.time()
