@@ -2,11 +2,21 @@
 GL stack exists (the reference's MeshPyRenderer/ParticlePyRenderer/
 WaterPyRenderer, DaXBench engine/pyrender/py_render.py:16-191), otherwise
 the numpy software renderer — same (rgb, depth) return contract.
+
+Set ``UNIDOM_RENDERER=volumetric`` to route frames through the JAX SDF
+ray-marcher (render/volumetric.py, the reference Taichi renderer port) for
+lit perspective images instead of the fast top-down splat.
 """
+
+import os
 
 import numpy as np
 
 from unidom_tpu.render.software import render_points_topdown, render_side_by_side
+
+
+def _use_volumetric():
+    return os.environ.get("UNIDOM_RENDERER", "").lower() == "volumetric"
 
 try:  # pragma: no cover - exercised only where GL is available
     import pyrender  # noqa: F401
@@ -23,6 +33,24 @@ class _SoftwareBase:
     def render(self, *args, **kwargs):
         raise NotImplementedError
 
+    def _render_volumetric(self, pts, color=None):
+        """(rgb, depth) via the SDF ray-marcher; renderer built lazily so the
+        default splat path never pays for it."""
+        if not hasattr(self, "_vol"):
+            from unidom_tpu.render.volumetric import VolumeConf, VolumeRenderer
+
+            # preview-grade settings: GIF/debug frames, not the full
+            # 512^2/168^3/spp10 reference config (use VolumeRenderer
+            # directly for that)
+            self._vol = VolumeRenderer(VolumeConf(
+                image_res=(160, 160), voxel_res=(64, 64, 64), dx=1 / 56,
+                spp=2, march_steps=96, prim_march_steps=32,
+            ))
+        self._vol.set_particles(pts, color)
+        rgb = self._vol.render_frame()
+        depth = np.zeros(rgb.shape[:2], np.float32)
+        return rgb, depth
+
 
 class MeshRenderer(_SoftwareBase):
     """Cloth mesh renderer. render(x_grid (N,N,3), indices, primitive0, vis)."""
@@ -30,6 +58,8 @@ class MeshRenderer(_SoftwareBase):
     def render(self, x_grid, indices, primitive0=None, visualize=False):
         pts = np.asarray(x_grid).reshape(-1, 3)
         pts = pts[np.abs(pts).sum(-1) > 1e-9]
+        if _use_volumetric():
+            return self._render_volumetric(pts)
         extra = []
         if primitive0 is not None:
             p = np.asarray(primitive0)
@@ -43,6 +73,8 @@ class ParticleRenderer(_SoftwareBase):
     """MPM particle renderer. render(x (P,3), vis)."""
 
     def render(self, x, visualize=False):
+        if _use_volumetric():
+            return self._render_volumetric(np.asarray(x))
         rgb = render_side_by_side(np.asarray(x), size=self.size)
         depth = np.zeros(rgb.shape[:2], np.float32)
         return rgb, depth
