@@ -47,6 +47,42 @@ class TestModels:
         assert abs(float(out.mean())) < 0.05
         assert abs(float(out.std()) - 1.0) < 0.05
 
+    def test_normalizer_cross_device_matches_serial(self):
+        """The sharded update must equal a single-device update over the
+        concatenated batch — including the between-device variance term
+        sum_d count_d*(mean_d - mean)^2 that per-shard m2 accumulation would
+        drop (worst when shards have very different means)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = make_env_mesh()
+        n = mesh.devices.size
+        # give each device shard a wildly different mean
+        data = (
+            jax.random.normal(jax.random.PRNGKey(0), (n * 4, 3))
+            + jnp.arange(n * 4, dtype=jnp.float32)[:, None] * 10.0
+        )
+        params = create_observation_normalizer(3)
+
+        sharded_update = jax.jit(
+            shard_map(
+                lambda p, o: update_normalizer(p, o, axis_name="env"),
+                mesh=mesh,
+                in_specs=(P(), P("env")),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        got = sharded_update(params, data)
+        want = update_normalizer(params, data)
+        np.testing.assert_allclose(float(got.count), float(want.count))
+        np.testing.assert_allclose(
+            np.asarray(got.mean), np.asarray(want.mean), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.m2), np.asarray(want.m2), rtol=1e-4
+        )
+
 
 @pytest.fixture(scope="module")
 def tiny_env():
@@ -146,12 +182,12 @@ class TestAPG:
         assert float(ts.normalizer_params.count) == 0.0
         state = reset_batch(jax.random.PRNGKey(0))
         ts2, metrics = minimize(ts, state)
-        # 2 scan steps x 8 envs of rollout observations folded in
-        assert float(ts2.normalizer_params.count) == 16.0
+        # (1 reset + 2 scan steps) x 8 envs of observations folded in
+        assert float(ts2.normalizer_params.count) == 24.0
         assert np.all(np.isfinite(np.asarray(ts2.normalizer_params.mean)))
         assert float(jnp.abs(ts2.normalizer_params.mean).max()) > 0
         ts3, metrics = minimize(ts2, state)
-        assert float(ts3.normalizer_params.count) == 32.0
+        assert float(ts3.normalizer_params.count) == 48.0
         assert np.isfinite(float(metrics["reward"]))
 
     def test_eval_gif(self, tiny_env, tmp_path):

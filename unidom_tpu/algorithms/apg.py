@@ -134,10 +134,15 @@ def build_apg(
         normalizer_params = training_state.normalizer_params
         if normalize_obs:
             # moments from this iteration's rollout states; psum over the env
-            # axis keeps every replica's statistics identical (brax contract)
+            # axis keeps every replica's statistics identical (brax contract).
+            # The reset-state obs is what the policy consumes at t=0, so fold
+            # it in alongside the post-step states.
             rollout_obs = jax.vmap(env.get_obs)(state_list)
+            obs0 = env.get_obs(state)[None]
             normalizer_params = update_normalizer(
-                normalizer_params, rollout_obs, axis_name="env"
+                normalizer_params,
+                jnp.concatenate([obs0, rollout_obs], axis=0),
+                axis_name="env",
             )
 
         params_update, optimizer_state = optimizer.update(
@@ -282,6 +287,7 @@ def train(
     save_gif: bool = False,
     lr_decay: bool = False,
     normalize_obs: bool = False,
+    randomize_reset: bool = False,
     env_kwargs: Optional[dict] = None,
 ):
     from unidom_tpu.envs.registration import env_functions
@@ -358,11 +364,23 @@ def train(
         )
         print(f"resumed from {resume}")
 
+    # Reset-key discipline (reference parity, apg.py:298-307): for plain-reset
+    # (cloth) envs the reference never re-splits key_env, so every training
+    # iteration starts from the SAME initial state; only auto_reset (MPM) envs
+    # draw fresh keys each iteration. Round-2's fresh-key-per-iteration cloth
+    # resets made each gradient step chase a differently-shifted task while
+    # eval sat at a fixed shift — a train/eval divergence the reference never
+    # has. --randomize_reset opts back into the harder randomized curriculum.
+    fixed_reset_key = env.reset_mode == "reset" and not randomize_reset
+
     history = []
     t_total = time.time()
     for it in range(max_it + 1):
-        key_env, key_iter = jax.random.split(key_env)
-        first_state = reset_batch(key_env, key_iter)
+        if fixed_reset_key:
+            first_state = reset_batch(key_env)
+        else:
+            key_env, key_iter = jax.random.split(key_env)
+            first_state = reset_batch(key_env, key_iter)
 
         if it % eval_freq == 0:
             _, action_list, reward_list = run_eval(
@@ -445,6 +463,10 @@ def main(argv=None):
                              "normalizer apply is commented out, apg.py:182)")
     parser.add_argument("--save_gif", action="store_true",
                         help="write an eval rollout GIF to the logdir at every eval")
+    parser.add_argument("--randomize_reset", action="store_true",
+                        help="draw a fresh reset key every iteration for "
+                             "plain-reset (cloth) envs; the reference keeps "
+                             "the reset key fixed (apg.py:298-307)")
     # multi-host bring-up (docs/MULTIHOST.md); all three omitted on Cloud TPU
     # (auto-detected) and in single-process runs
     parser.add_argument("--coordinator", default=None)
@@ -474,6 +496,7 @@ def main(argv=None):
         save_gif=args.save_gif,
         lr_decay=args.lr_decay,
         normalize_obs=args.normalize_obs,
+        randomize_reset=args.randomize_reset,
     )
 
 

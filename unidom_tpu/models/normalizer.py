@@ -33,12 +33,17 @@ def update_normalizer(
     flat = obs.reshape(-1, obs.shape[-1])
     batch_count = jnp.asarray(flat.shape[0], jnp.float32)
     batch_mean = flat.mean(0)
-    batch_m2 = ((flat - batch_mean) ** 2).sum(0)
     if axis_name is not None:
+        # shard_map shards are equal-sized, so pmean of per-device means IS
+        # the global batch mean; m2 must then be accumulated against that
+        # global mean (not per-device means) or the between-device variance
+        # term sum_d count_d*(mean_d - mean)^2 is silently dropped.
         n_dev = jax.lax.psum(1, axis_name)
         batch_count = batch_count * n_dev
         batch_mean = jax.lax.pmean(batch_mean, axis_name)
-        batch_m2 = jax.lax.psum(batch_m2, axis_name)
+        batch_m2 = jax.lax.psum(((flat - batch_mean) ** 2).sum(0), axis_name)
+    else:
+        batch_m2 = ((flat - batch_mean) ** 2).sum(0)
 
     delta = batch_mean - params.mean
     total = params.count + batch_count
