@@ -1,0 +1,270 @@
+"""Run the REFERENCE's own cloth envs + APG training to record the cost
+baseline the ±5% parity target is measured against (round-2 verdict,
+"Next round" #3a).
+
+The reference stack cannot run unmodified here (brax 0.0.13 absent,
+`jax.random.KeyArray` removed from jax, pyrender/gym not installed), so this
+driver:
+  * shims `jax.random.KeyArray = jax.Array` before any daxbench import
+    (cloth_simulator.py:10),
+  * stubs pyrender/pyglet/trimesh/gym with import-satisfying fakes (only the
+    renderer path touches them; training never calls it),
+  * replaces the brax-only trainer plumbing (apg.py:29-443) with a minimal
+    driver that reproduces its exact update semantics: MLP [512,256,2*act]
+    swish -> NormalTanh sample -> sigmoid, loss = -mean(reward) over the
+    ep_len scan, grad -> nan_to_num -> global-norm clip -> adam(1e-4)
+    (constant LR: the reference's per-iteration optimizer re-creation never
+    reaches the compiled update). aux_reward=True for training, plain env
+    for eval, fixed reset keys — all as in apg.py:83-93,296-341.
+  * IMPORTANTLY the physics, env semantics, reward, and goal data are the
+    reference's own code and assets, imported from /root/reference.
+
+Output: JSON lines with train/test reward and final chamfer, for
+BASELINE.json `published.final_cost_*`.
+
+Usage:
+  python scripts/reference_baseline_run.py --env fold_cloth1 --max_it 1000
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+# ----------------------------------------------------------------- shims
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+if not hasattr(jax.random, "KeyArray"):
+    jax.random.KeyArray = jax.Array
+
+_here = os.path.dirname(os.path.abspath(__file__))
+
+
+def _stub(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules.setdefault(name, mod)
+    return mod
+
+
+class _Anything:
+    def __init__(self, *a, **k):
+        pass
+
+    def __call__(self, *a, **k):
+        return self
+
+    def __getattr__(self, _):
+        return self
+
+    def __getitem__(self, _):
+        return self
+
+    def __setitem__(self, *_):
+        pass
+
+    def __sub__(self, _):
+        return 1.0
+
+    def __rsub__(self, _):
+        return 1.0
+
+    def __mul__(self, _):
+        return self
+
+    def __rmul__(self, _):
+        return self
+
+    def __truediv__(self, _):
+        return self
+
+    def __rtruediv__(self, _):
+        return 1.0
+
+    def __imul__(self, _):
+        return self
+
+
+if "pyglet" not in sys.modules:
+    pyglet = _stub("pyglet")
+    pyglet.options = {}
+class _AnyModule(types.ModuleType):
+    def __getattr__(self, name):
+        return _Anything()
+
+
+def _stub_any(name):
+    sys.modules.setdefault(name, _AnyModule(name))
+
+
+for _m in ("pyrender", "trimesh"):
+    _stub_any(_m)
+_stub("pxr", Usd=_Anything(), UsdGeom=_Anything(), Gf=_Anything(),
+      Sdf=_Anything(), Vt=_Anything())
+_stub("open3d", io=_Anything(), geometry=_Anything(), utility=_Anything())
+_stub("sdf", sdf3=_Anything(), box=_Anything(), sphere=_Anything())
+_stub("wandb", init=_Anything(), log=_Anything(), config=_Anything())
+
+
+class _Box:
+    def __init__(self, low=None, high=None, shape=None, dtype=None):
+        self.low, self.high, self.shape, self.dtype = low, high, shape, dtype
+
+
+_gym = _stub("gym")
+_gym.spaces = _stub("gym.spaces", Box=_Box)
+
+sys.path.insert(0, "/root/reference/DaXBench")
+
+# ------------------------------------------------------------ reference env
+from daxbench.core.envs.fold_cloth1_env import FoldCloth1Env  # noqa: E402
+from daxbench.core.envs.fold_cloth3_env import FoldCloth3Env  # noqa: E402
+from daxbench.core.utils.util import calc_chamfer  # noqa: E402
+
+ENVS = {"fold_cloth1": FoldCloth1Env, "fold_cloth3": FoldCloth3Env}
+
+# ------------------------------------------------- reference-equivalent APG
+# (brax's make_direct_optimization_model is an MLP [512, 256, param_size]
+# with swish; NormalTanhDistribution with min_std 0.001; see
+# apg.py:353-358 and our models/ which were built to match.)
+sys.path.insert(0, os.path.dirname(_here))
+from unidom_tpu.models.distribution import NormalTanhDistribution  # noqa: E402
+from unidom_tpu.models.mlp import make_policy_model  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default="fold_cloth1", choices=sorted(ENVS))
+    ap.add_argument("--num_envs", type=int, default=4)
+    ap.add_argument("--ep_len", type=int, default=3)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--max_grad_norm", type=float, default=0.3)
+    ap.add_argument("--max_it", type=int, default=1000)
+    ap.add_argument("--eval_freq", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    # mem_saving_level=0: modern jax rejects the reference's custom_vjp
+    # recompute wrappers (their allow_int grads emit float0 cotangents for
+    # the int state leaves, which float0-intolerant tree ops then multiply).
+    # The wrappers are exact-VJP rematerialization — level 0 computes the
+    # SAME gradients via plain autodiff, just with more activation memory
+    # (fine at 4 envs). conf comment in fold_cloth1_env.py:28-30 documents
+    # the levels as memory knobs only.
+    import daxbench.core.envs.fold_cloth1_env as _m1
+    import daxbench.core.envs.fold_cloth3_env as _m3
+
+    for _m in (_m1, _m3):
+        _m.DefaultConf.mem_saving_level = 0
+
+    env = ENVS[args.env](batch_size=args.num_envs, seed=args.seed, aux_reward=True)
+    eval_env = ENVS[args.env](batch_size=args.num_envs, seed=args.seed + 666)
+
+    dist = NormalTanhDistribution(event_size=env.action_size)
+    model = make_policy_model(dist.param_size, env.observation_size)
+    params = model.init(jax.random.PRNGKey(args.seed + 1))
+    optimizer = optax.adam(learning_rate=args.lr)
+    opt_state = optimizer.init(params)
+
+    step_fn = env.step_diff
+    eval_step_fn = eval_env.step_diff
+
+    def do_one_step(carry, _):
+        state, params, key = carry
+        key, key_sample = jax.random.split(key)
+        obs = env.get_obs(state)
+        logits = model.apply(params, obs)
+        actions = jax.nn.sigmoid(dist.sample(logits, key_sample))
+        obs, reward, done, info = step_fn(actions, state)
+        return (info["state"], params, key), (reward,)
+
+    def loss(params, state, key):
+        _, (reward_list,) = jax.lax.scan(
+            do_one_step, (state, params, key), (), length=args.ep_len
+        )
+        return -jnp.mean(reward_list), reward_list
+
+    loss_grad = jax.grad(loss, has_aux=True)
+
+    def clip_by_global_norm(updates):
+        g_norm = optax.global_norm(updates)
+        trigger = g_norm < args.max_grad_norm
+        return jax.tree_util.tree_map(
+            lambda t: jnp.where(trigger, t, (t / g_norm) * args.max_grad_norm),
+            updates,
+        )
+
+    @jax.jit
+    def minimize(params, opt_state, state, key):
+        grad_raw, reward_list = loss_grad(params, state, key)
+        grad_raw = jax.tree_util.tree_map(jnp.nan_to_num, grad_raw)
+        grad = clip_by_global_norm(grad_raw)
+        updates, opt_state = optimizer.update(grad, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, reward_list, optax.global_norm(grad_raw)
+
+    def do_one_step_eval(carry, _):
+        state, params, key = carry
+        key, key_sample = jax.random.split(key)
+        obs = eval_env.get_obs(state)
+        logits = model.apply(params, obs)
+        actions = jax.nn.sigmoid(dist.sample(logits, key_sample))
+        obs, reward, done, info = eval_step_fn(actions, state)
+        return (info["state"], params, key), (reward,)
+
+    @jax.jit
+    def run_eval(params, state, key):
+        (state, _, _), (reward_list,) = jax.lax.scan(
+            do_one_step_eval, (state, params, key), (), length=args.ep_len
+        )
+        return state, reward_list
+
+    # fixed reset keys, as the reference cloth training loop (apg.py:296-307);
+    # env.reset(key) returns the full local batch (one shared shift)
+    key_env = jax.random.PRNGKey(args.seed)
+    key_eval = jax.random.PRNGKey(args.seed + 666)
+    _, first_state = env.reset(key_env)
+    _, eval_first_state = eval_env.reset(key_eval)
+
+    out = open(args.out, "a") if args.out else None
+    key = jax.random.PRNGKey(args.seed + 2)
+    t0 = time.time()
+    final_chamfer = None
+    for it in range(args.max_it + 1):
+        if it % args.eval_freq == 0 or it == args.max_it:
+            eval_state, eval_rewards = run_eval(params, eval_first_state, key_eval)
+            test_reward = float(eval_rewards.sum(0).mean())
+            final_chamfer = float(calc_chamfer(eval_state.x, eval_env.goal).mean())
+            rec = {
+                "it": it,
+                "test_reward": test_reward,
+                "final_chamfer": final_chamfer,
+                "walltime": time.time() - t0,
+            }
+            print(json.dumps(rec), flush=True)
+            if out:
+                out.write(json.dumps(rec) + "\n")
+                out.flush()
+        key, key_it = jax.random.split(key)
+        params, opt_state, reward_list, gn = minimize(
+            params, opt_state, first_state, key_it
+        )
+        if it % args.eval_freq == 0:
+            print(
+                f"# it {it} train_reward {float(reward_list.sum(0).mean()):.4f} "
+                f"grad_norm {float(gn):.4f} ({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+    if out:
+        out.close()
+
+
+if __name__ == "__main__":
+    main()
