@@ -288,6 +288,7 @@ def train(
     lr_decay: bool = False,
     normalize_obs: bool = False,
     randomize_reset: bool = False,
+    aux_reward: bool = True,
     env_kwargs: Optional[dict] = None,
 ):
     from unidom_tpu.envs.registration import env_functions
@@ -317,7 +318,8 @@ def train(
 
     env_kwargs = env_kwargs or {}
     env = env_functions[env_name](
-        batch_size=num_envs // n_devices, seed=seed, aux_reward=True, **env_kwargs
+        batch_size=num_envs // n_devices, seed=seed, aux_reward=aux_reward,
+        **env_kwargs
     )
     eval_env = env_functions[env_name](
         batch_size=num_eval_envs, seed=seed + 666, **env_kwargs
@@ -463,6 +465,9 @@ def main(argv=None):
                              "normalizer apply is commented out, apg.py:182)")
     parser.add_argument("--save_gif", action="store_true",
                         help="write an eval rollout GIF to the logdir at every eval")
+    parser.add_argument("--no_aux_reward", action="store_true",
+                        help="train WITHOUT the contact-distance aux reward "
+                             "(the reference trains with it, apg.py:85)")
     parser.add_argument("--randomize_reset", action="store_true",
                         help="draw a fresh reset key every iteration for "
                              "plain-reset (cloth) envs; the reference keeps "
@@ -497,6 +502,7 @@ def main(argv=None):
         lr_decay=args.lr_decay,
         normalize_obs=args.normalize_obs,
         randomize_reset=args.randomize_reset,
+        aux_reward=not args.no_aux_reward,
     )
 
 
