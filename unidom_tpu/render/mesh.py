@@ -27,6 +27,18 @@ except Exception:
     HAVE_PYRENDER = False
 
 
+def _sphere_points(center, radius, n=192):
+    """Fibonacci-spiral sample of a sphere surface, (n, 3)."""
+    i = np.arange(n, dtype=np.float32)
+    phi = np.arccos(1.0 - 2.0 * (i + 0.5) / n)
+    theta = np.pi * (1.0 + 5.0**0.5) * i
+    d = np.stack(
+        [np.sin(phi) * np.cos(theta), np.cos(phi), np.sin(phi) * np.sin(theta)],
+        axis=-1,
+    )
+    return center[None, :] + radius * d
+
+
 class _SoftwareBase:
     size = 256
 
@@ -59,7 +71,27 @@ class MeshRenderer(_SoftwareBase):
         pts = np.asarray(x_grid).reshape(-1, 3)
         pts = pts[np.abs(pts).sum(-1) > 1e-9]
         if _use_volumetric():
-            return self._render_volumetric(pts)
+            # keep the gripper visible in volumetric frames (as in the splat
+            # and reference pyrender paths): bake its sphere surface into the
+            # particle cloud — positions change every frame, so sampled
+            # points beat a static analytic-primitive closure (no retrace)
+            color = np.broadcast_to(
+                np.array([0.62, 0.55, 0.8], np.float32), pts.shape
+            )
+            if primitive0 is not None:
+                p = np.asarray(primitive0, np.float32)
+                sphere = _sphere_points(p[:3], max(float(p[3]), 1e-3), n=192)
+                pts = np.concatenate([pts, sphere], axis=0)
+                color = np.concatenate(
+                    [
+                        color,
+                        np.broadcast_to(
+                            np.array([1.0, 0.35, 0.3], np.float32), sphere.shape
+                        ),
+                    ],
+                    axis=0,
+                )
+            return self._render_volumetric(pts, color)
         extra = []
         if primitive0 is not None:
             p = np.asarray(primitive0)
