@@ -125,9 +125,15 @@ sys.path.insert(0, "/root/reference/DaXBench")
 # ------------------------------------------------------------ reference env
 from daxbench.core.envs.fold_cloth1_env import FoldCloth1Env  # noqa: E402
 from daxbench.core.envs.fold_cloth3_env import FoldCloth3Env  # noqa: E402
-from daxbench.core.utils.util import calc_chamfer  # noqa: E402
+from daxbench.core.envs.whip_rope_env import WhipRopeEnv  # noqa: E402
+from daxbench.core.utils.util import calc_chamfer, calc_l2  # noqa: E402
 
-ENVS = {"fold_cloth1": FoldCloth1Env, "fold_cloth3": FoldCloth3Env}
+ENVS = {
+    "fold_cloth1": FoldCloth1Env,
+    "fold_cloth3": FoldCloth3Env,
+    "whip_rope": WhipRopeEnv,
+}
+MPM_ENVS = {"whip_rope"}  # no sigmoid squash; auto_reset with fresh keys
 
 # ------------------------------------------------- reference-equivalent APG
 # (brax's make_direct_optimization_model is an MLP [512, 256, param_size]
@@ -158,11 +164,13 @@ def main():
     # SAME gradients via plain autodiff, just with more activation memory
     # (fine at 4 envs). conf comment in fold_cloth1_env.py:28-30 documents
     # the levels as memory knobs only.
-    import daxbench.core.envs.fold_cloth1_env as _m1
-    import daxbench.core.envs.fold_cloth3_env as _m3
+    is_mpm = args.env in MPM_ENVS
+    if not is_mpm:
+        import daxbench.core.envs.fold_cloth1_env as _m1
+        import daxbench.core.envs.fold_cloth3_env as _m3
 
-    for _m in (_m1, _m3):
-        _m.DefaultConf.mem_saving_level = 0
+        for _m in (_m1, _m3):
+            _m.DefaultConf.mem_saving_level = 0
 
     env = ENVS[args.env](batch_size=args.num_envs, seed=args.seed, aux_reward=True)
     eval_env = ENVS[args.env](batch_size=args.num_envs, seed=args.seed + 666)
@@ -176,12 +184,17 @@ def main():
     step_fn = env.step_diff
     eval_step_fn = eval_env.step_diff
 
+    def _squash(a):
+        # cloth (and ShapeRope) get the sigmoid; other MPM envs don't
+        # (reference apg.py:185-186)
+        return a if is_mpm else jax.nn.sigmoid(a)
+
     def do_one_step(carry, _):
         state, params, key = carry
         key, key_sample = jax.random.split(key)
         obs = env.get_obs(state)
         logits = model.apply(params, obs)
-        actions = jax.nn.sigmoid(dist.sample(logits, key_sample))
+        actions = _squash(dist.sample(logits, key_sample))
         obs, reward, done, info = step_fn(actions, state)
         return (info["state"], params, key), (reward,)
 
@@ -215,7 +228,7 @@ def main():
         key, key_sample = jax.random.split(key)
         obs = eval_env.get_obs(state)
         logits = model.apply(params, obs)
-        actions = jax.nn.sigmoid(dist.sample(logits, key_sample))
+        actions = _squash(dist.sample(logits, key_sample))
         obs, reward, done, info = eval_step_fn(actions, state)
         return (info["state"], params, key), (reward,)
 
@@ -227,11 +240,19 @@ def main():
         return state, reward_list
 
     # fixed reset keys, as the reference cloth training loop (apg.py:296-307);
-    # env.reset(key) returns the full local batch (one shared shift)
+    # env.reset(key) returns the full local batch (one shared shift). MPM
+    # envs instead auto_reset with fresh per-env keys each iteration
+    # (apg.py:300-307).
     key_env = jax.random.PRNGKey(args.seed)
     key_eval = jax.random.PRNGKey(args.seed + 666)
     _, first_state = env.reset(key_env)
     _, eval_first_state = eval_env.reset(key_eval)
+
+    def train_first_state(it_key):
+        if not is_mpm:
+            return first_state
+        keys = jax.random.split(it_key, args.num_envs)
+        return env.auto_reset(first_state, first_state, keys)
 
     out = open(args.out, "a") if args.out else None
     key = jax.random.PRNGKey(args.seed + 2)
@@ -241,11 +262,12 @@ def main():
         if it % args.eval_freq == 0 or it == args.max_it:
             eval_state, eval_rewards = run_eval(params, eval_first_state, key_eval)
             test_reward = float(eval_rewards.sum(0).mean())
-            final_chamfer = float(calc_chamfer(eval_state.x, eval_env.goal).mean())
+            cost = calc_l2 if is_mpm else calc_chamfer
+            final_chamfer = float(cost(eval_state.x, eval_env.goal).mean())
             rec = {
                 "it": it,
                 "test_reward": test_reward,
-                "final_chamfer": final_chamfer,
+                ("final_l2" if is_mpm else "final_chamfer"): final_chamfer,
                 "walltime": time.time() - t0,
             }
             print(json.dumps(rec), flush=True)
@@ -253,8 +275,9 @@ def main():
                 out.write(json.dumps(rec) + "\n")
                 out.flush()
         key, key_it = jax.random.split(key)
+        key_env, key_reset = jax.random.split(key_env)
         params, opt_state, reward_list, gn = minimize(
-            params, opt_state, first_state, key_it
+            params, opt_state, train_first_state(key_reset), key_it
         )
         if it % args.eval_freq == 0:
             print(
