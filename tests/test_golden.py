@@ -108,3 +108,33 @@ def test_calibration_rope_replay():
     # simulated rope must end closer to the real after-state than it began
     assert result["chamfer_after"] < result["chamfer_before"], result
     assert np.isfinite(result["chamfer_after"])
+
+
+def test_goal_assets_match_reference():
+    """The shipped goal clouds ARE the reference's task definitions
+    (adopted verbatim by scripts/adopt_goals.py; round-2 verdict found
+    regenerated goals made every reward number incomparable). shape_rope_hard
+    trains against the shape_rope goal, as the reference env does
+    (shape_rope_hard_env.py:8 aliases ShapeRopeEnv's conf, task="shape_rope").
+    """
+    ref_root = "/root/reference/DaXBench/daxbench/core/envs/goals"
+    if not os.path.isdir(ref_root):
+        pytest.skip("reference tree not mounted")
+    asset_root = os.path.join(
+        os.path.dirname(unidom_tpu.__file__), "assets", "goals"
+    )
+    adopted = {
+        "fold_cloth1": "fold_cloth1",
+        "fold_cloth3": "fold_cloth3",
+        "fold_tshirt": "fold_tshirt",
+        "unfold_cloth1": "unfold_cloth1",
+        "unfold_cloth3": "unfold_cloth3",
+        "whip_rope": "whip_rope",
+        "shape_rope": "shape_rope",
+        "shape_rope_hard": "shape_rope",
+        "pour_water": "pour_water",
+    }
+    for task, ref_task in adopted.items():
+        ours = np.load(os.path.join(asset_root, task, "goal.npy"))
+        ref = np.load(os.path.join(ref_root, ref_task, "goal.npy"))
+        np.testing.assert_array_equal(ours, ref, err_msg=task)
