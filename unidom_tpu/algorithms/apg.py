@@ -376,6 +376,7 @@ def train(
     fixed_reset_key = env.reset_mode == "reset" and not randomize_reset
 
     history = []
+    best_eval = -float("inf")
     t_total = time.time()
     for it in range(max_it + 1):
         if fixed_reset_key:
@@ -401,7 +402,18 @@ def train(
                 }
                 with open(os.path.join(logdir, f"apg_{env_name}_{it}.pkl"), "wb") as f:
                     pickle.dump(jax.device_get(ckpt), f)
-                print(f"[it {it}] test_reward {test_reward:.4f}")
+                if test_reward > best_eval:
+                    # BPTT through thousands of chaotic substeps can walk the
+                    # policy off a good optimum late in training (round-3
+                    # diagnosis: saturation attractor); keep the best-eval
+                    # params the way the reference keeps per-eval pickles
+                    best_eval = test_reward
+                    ckpt["test_reward"] = test_reward
+                    with open(
+                        os.path.join(logdir, f"apg_{env_name}_best.pkl"), "wb"
+                    ) as f:
+                        pickle.dump(jax.device_get(ckpt), f)
+                print(f"[it {it}] test_reward {test_reward:.4f} (best {best_eval:.4f})")
                 if tb is not None:
                     tb.add_scalar("test_reward", test_reward, it)
                 if save_gif:
