@@ -89,9 +89,12 @@ def train_para(
     sweep = jnp.linspace(eval_min_stiff, eval_max_stiff, n_eval_points)
 
     t0 = time.time()
+    best_mean = -float("inf")
     for it in range(max_it + 1):
-        key, k_reset, k_stiff = jax.random.split(key, 3)
-        first_state = reset_batch(k_reset)
+        # fixed reset key (reference cloth discipline, apg.py:296-307):
+        # only the stiffness draw varies between iterations
+        key, k_stiff = jax.random.split(key)
+        first_state = reset_batch(jax.random.PRNGKey(seed))
         first_state = randomize_stiffness(
             first_state, k_stiff, train_min_stiff, train_max_stiff
         )
@@ -117,6 +120,15 @@ def train_para(
                     "policy_params": training_state.policy_params,
                     "sweep": per_stiff, "it": it,
                 }), f)
+            if mean_r > best_mean:
+                best_mean = mean_r
+                with open(
+                    os.path.join(logdir, f"apg_para_{env_name}_best.pkl"), "wb"
+                ) as f:
+                    pickle.dump(jax.device_get({
+                        "policy_params": training_state.policy_params,
+                        "sweep": per_stiff, "it": it, "mean": mean_r,
+                    }), f)
             metrics_file.write(json.dumps(
                 {"it": it, "eval_sweep": per_stiff, "walltime": time.time() - t0}
             ) + "\n")
