@@ -28,4 +28,9 @@ for cfg in "pour_water 64" "pour_soup 8" "shape_elasto_plastic 16"; do
   tail -1 $R/bigrid_rows.jsonl
 done
 
+step "identify pipeline on-chip (expert gen -> PointNet++ regression -> resim)"
+timeout 3600 python scripts/r3_identify.py > $R/identify.log 2>&1 \
+  || echo "identify failed (see $R/identify.log)"
+tail -2 $R/identify.log
+
 echo "=== perf done ==="
