@@ -22,7 +22,7 @@ TPU-native deltas:
 """
 
 import argparse
-
+import functools
 import json
 import os
 import pickle
@@ -210,23 +210,32 @@ def build_apg(
 
     # ---------------- eval ---------------- #
 
-    def do_one_step_eval(carry, _):
-        state, params, normalizer_params, key = carry
-        key, key_sample = jax.random.split(key)
-        obs = env.get_obs(state)
-        if normalize_obs:
-            obs = normalize(normalizer_params, obs)
-        logits = policy_model.apply(params, obs)
-        actions = dist.sample(logits, key_sample)
-        if env.action_squash == "sigmoid":
-            actions = jax.nn.sigmoid(actions)
-        obs, reward, done, info = env.step_diff(actions, state)
-        return (info["state"], params, normalizer_params, key), (actions, reward)
+    def _make_eval_step(deterministic):
+        def do_one_step_eval(carry, _):
+            state, params, normalizer_params, key = carry
+            key, key_sample = jax.random.split(key)
+            obs = env.get_obs(state)
+            if normalize_obs:
+                obs = normalize(normalizer_params, obs)
+            logits = policy_model.apply(params, obs)
+            if deterministic:
+                actions = dist.mode(logits)
+            else:
+                actions = dist.sample(logits, key_sample)
+            if env.action_squash == "sigmoid":
+                actions = jax.nn.sigmoid(actions)
+            obs, reward, done, info = env.step_diff(actions, state)
+            return (info["state"], params, normalizer_params, key), (actions, reward)
 
-    @jax.jit
-    def run_eval(params, normalizer_params, state, key):
+        return do_one_step_eval
+
+    @functools.partial(jax.jit, static_argnames=("deterministic",))
+    def run_eval(params, normalizer_params, state, key, deterministic=False):
+        """Eval rollout. ``deterministic=False`` samples actions — the
+        reference's eval mode (apg.py:230-237); True uses the distribution
+        mode (tanh(loc)), the round-3 saturation-diagnosis probe."""
         (state, _, _, key), (action_list, reward_list) = jax.lax.scan(
-            do_one_step_eval,
+            _make_eval_step(deterministic),
             (state, params, normalizer_params, key),
             (),
             length=env.max_steps,
@@ -393,6 +402,14 @@ def train(
                 key_eval,
             )
             test_reward = float(reward_list.sum(0).mean())
+            _, _, det_rewards = run_eval(
+                training_state.policy_params,
+                training_state.normalizer_params,
+                eval_first_state,
+                key_eval,
+                deterministic=True,
+            )
+            test_reward_det = float(det_rewards.sum(0).mean())
             if is_lead:
                 ckpt = {
                     "policy_params": training_state.policy_params,
@@ -413,9 +430,13 @@ def train(
                         os.path.join(logdir, f"apg_{env_name}_best.pkl"), "wb"
                     ) as f:
                         pickle.dump(jax.device_get(ckpt), f)
-                print(f"[it {it}] test_reward {test_reward:.4f} (best {best_eval:.4f})")
+                print(
+                    f"[it {it}] test_reward {test_reward:.4f} "
+                    f"det {test_reward_det:.4f} (best {best_eval:.4f})"
+                )
                 if tb is not None:
                     tb.add_scalar("test_reward", test_reward, it)
+                    tb.add_scalar("test_reward_det", test_reward_det, it)
                 if save_gif:
                     _write_eval_gif(
                         eval_env, eval_first_state, action_list,
