@@ -52,6 +52,15 @@ python scripts/reference_baseline_run.py --env fold_cloth1 --num_envs 4 \
   > $R/reference_fold_cloth1_tpu.log 2>&1
 tail -2 $R/reference_fold_cloth1_tpu.jsonl 2>/dev/null
 
+# 6b. the official fold_cloth3 @1024 record run: lr 3e-5 (sweep winner —
+#     reaches eval 2.87 vs 1.24 untrained before the saturation attractor;
+#     best-checkpoint + deterministic eval + GIFs)
+step "ours fold_cloth3 @1024 record (lr 3e-5)"
+python -m unidom_tpu.algorithms.apg --env fold_cloth3 --ep_len 3 --num_envs 1024 \
+  --lr 3e-5 --max_grad_norm 0.3 --seed 0 --eval_freq 10 --max_it 300 \
+  --save_gif --logdir $R/fold_cloth3_1024_record > $R/fold_cloth3_1024_record.log 2>&1
+grep "test_reward" $R/fold_cloth3_1024_record.log | tail -3
+
 # 7. fold_cloth1_para with the reference stiffness ranges (train_para.sh)
 step "fold_cloth1_para"
 python -m unidom_tpu.algorithms.apg_para --env fold_cloth1_para --ep_len 3 \
