@@ -173,14 +173,23 @@ def main():
     rows = []
     for r in rows_req:
         r = r.strip()
-        if r.startswith("cloth"):
-            rows.append(
-                _cloth_row(int(r[5:]), mesh, ep_len, iters, reps, cloth_base)
-            )
-        elif r.startswith("mpm"):
-            rows.append(_mpm_row(int(r[3:]), mesh, ep_len, iters, reps, mpm_base))
-        else:
-            log(f"unknown bench row {r!r}, skipped")
+        try:
+            if r.startswith("cloth"):
+                rows.append(
+                    _cloth_row(int(r[5:]), mesh, ep_len, iters, reps, cloth_base)
+                )
+            elif r.startswith("mpm"):
+                rows.append(
+                    _mpm_row(int(r[3:]), mesh, ep_len, iters, reps, mpm_base)
+                )
+            else:
+                log(f"unknown bench row {r!r}, skipped")
+        except Exception as e:  # one bad row must not sink the whole record
+            log(f"row {r} FAILED: {type(e).__name__}: {e}")
+            if not rows and r == rows_req[-1].strip():
+                raise
+    if not rows:
+        raise SystemExit("no bench rows succeeded")
 
     head = dict(rows[0])
     head["rows"] = rows
