@@ -70,4 +70,15 @@ python -m unidom_tpu.algorithms.apg_para --env fold_cloth1_para --ep_len 3 \
   --logdir $R/fold_cloth1_para > $R/fold_cloth1_para.log 2>&1
 grep "sweep mean" $R/fold_cloth1_para.log | tail -2
 
+# 8. unconditioned comparator (apg_no_para): same stiffness randomization,
+#    policy does NOT observe stiffness — the GenORM claim is the conditioned
+#    policy beating this outside the training range
+step "fold_cloth1 no_para comparator"
+python -m unidom_tpu.algorithms.apg_para --env fold_cloth1 --ep_len 3 \
+  --num_envs 4 --lr 1e-4 --max_grad_norm 0.3 --seed 0 --eval_freq 100 \
+  --max_it 2000 --train_min_stiff 1000 --train_max_stiff 1600 \
+  --eval_min_stiff 10 --eval_max_stiff 1800 \
+  --logdir $R/fold_cloth1_no_para > $R/fold_cloth1_no_para.log 2>&1
+grep "sweep mean" $R/fold_cloth1_no_para.log | tail -2
+
 echo "=== queue done ==="
