@@ -183,6 +183,7 @@ class ClothEnv:
     def build_step_diff(self):
         def step_diff(actions, state: ClothState):
             pickup_place = actions[..., :3]
+            old_chamfer_distance = chamfer(self.packed_x(state), self.goal)
             contact_distance = jnp.sqrt(
                 jnp.sum((pickup_place[:, None, :] - self.packed_x(state)) ** 2, -1)
             ).min(-1)
@@ -207,6 +208,11 @@ class ClothEnv:
             reward = reward * 0.99**state.cur_step
 
             info = {"state": state, "obs_list": obs_list, "state_list": state_list}
+            # shaped progress signal in info (reference cloth_env.py:227-228);
+            # not consumed by the trainer, part of the env API surface
+            info["real_reward"] = (
+                old_chamfer_distance - chamfer_distance + 0.1 * contact_distance
+            )
             return obs, reward, done, info
 
         return step_diff
