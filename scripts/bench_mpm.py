@@ -33,13 +33,19 @@ def main():
     num_envs = max(num_envs // n_dev, 1) * n_dev
 
     backend = os.environ.get("BENCH_BACKEND", "")
+    res_override = os.environ.get("BENCH_RES", "")
     kw = {}
-    if backend:
+    if backend or res_override:
         import dataclasses
 
         cls = env_functions[env_name]
         probe = cls(batch_size=1)
-        kw["conf"] = dataclasses.replace(probe.conf, backend=backend)
+        repl = {}
+        if backend:
+            repl["backend"] = backend
+        if res_override:
+            repl["res"] = tuple(int(x) for x in res_override.split(","))
+        kw["conf"] = dataclasses.replace(probe.conf, **repl)
     env = env_functions[env_name](batch_size=num_envs // n_dev, **kw)
     env.reset(jax.random.PRNGKey(0))  # MPM envs size their obs at reset
 
@@ -69,6 +75,8 @@ def main():
         "vs_baseline": 1.0,
         "num_envs": num_envs,
         "ep_len": ep_len,
+        "res": list(env.conf.res),
+        "backend": backend or "auto",
         "iter_walltime_s": round(dt, 3),
         "compile_s": round(compile_s, 1),
     }))

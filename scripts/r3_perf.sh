@@ -28,6 +28,18 @@ for cfg in "pour_water 64" "pour_soup 8" "shape_elasto_plastic 16"; do
   tail -1 $R/bigrid_rows.jsonl
 done
 
+step "focus-window ceiling probe: whip_rope sps vs grid-plane size"
+# how much would a windowed (smaller-plane) transfer help? Pure-perf probe:
+# same kernel, smaller res. (16,16,32) = 1/4 the plane FLOPs of (32,32,32).
+for res in "32 32 32" "16 16 32" "16 16 16"; do
+  set -- $res
+  echo "--- res ($1,$2,$3)"
+  BENCH_ENV=whip_rope BENCH_NUM_ENVS=256 BENCH_RES="$1,$2,$3" BENCH_ITERS=2 \
+    timeout 900 python scripts/bench_mpm.py >> $R/window_probe.jsonl \
+    2> /dev/null || echo "{\"res\": \"$res\", \"error\": true}" >> $R/window_probe.jsonl
+  tail -1 $R/window_probe.jsonl
+done
+
 step "identify pipeline on-chip (expert gen -> PointNet++ regression -> resim)"
 timeout 3600 python scripts/r3_identify.py > $R/identify.log 2>&1 \
   || echo "identify failed (see $R/identify.log)"
