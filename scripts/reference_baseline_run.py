@@ -166,14 +166,27 @@ def main():
     # the levels as memory knobs only.
     is_mpm = args.env in MPM_ENVS
     if not is_mpm:
+        # The reference's conf.stiffness is the Python int 900, so
+        # state.stiffness traces as int32; on modern jax its cotangent is
+        # float0 and the reference's own custom-vjp surrogate line
+        # `nstate.stiffness * g.stiffness` (cloth_simulator.py:126) raises.
+        # A float stiffness restores the original (float-cotangent)
+        # behavior and keeps mem_saving_level=2, whose per-robot-step
+        # recompute the 16 GB chip needs (level 0 tries to keep a 50 GB
+        # f32[3,40,50,4,4096,3] residual buffer).
         import daxbench.core.envs.fold_cloth1_env as _m1
         import daxbench.core.envs.fold_cloth3_env as _m3
 
         for _m in (_m1, _m3):
-            _m.DefaultConf.mem_saving_level = 0
+            _m.DefaultConf.stiffness = float(_m.DefaultConf.stiffness)
+            if os.environ.get("REF_MEM_LEVEL"):
+                _m.DefaultConf.mem_saving_level = int(os.environ["REF_MEM_LEVEL"])
 
-    env = ENVS[args.env](batch_size=args.num_envs, seed=args.seed, aux_reward=True)
-    eval_env = ENVS[args.env](batch_size=args.num_envs, seed=args.seed + 666)
+    kwargs = {"stiffness": 900.0} if args.env == "fold_cloth1" else {}
+    env = ENVS[args.env](batch_size=args.num_envs, seed=args.seed,
+                         aux_reward=True, **kwargs)
+    eval_env = ENVS[args.env](batch_size=args.num_envs, seed=args.seed + 666,
+                              **kwargs)
 
     dist = NormalTanhDistribution(event_size=env.action_size)
     model = make_policy_model(dist.param_size, env.observation_size)
