@@ -153,6 +153,10 @@ class TestClothEnv:
         assert np.all(np.isfinite(np.asarray(reward)))
         assert not bool(np.asarray(done).any())
         assert info["state"].cur_step[0] == 1
+        # shaped progress signal (reference cloth_env.py:227-228):
+        # old_chamfer - new_chamfer + 0.1 * contact_distance
+        assert info["real_reward"].shape == (2,)
+        assert np.all(np.isfinite(np.asarray(info["real_reward"])))
 
     def test_episode_terminates(self, env):
         _, state = env.reset(jax.random.PRNGKey(0))
