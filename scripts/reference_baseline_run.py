@@ -165,6 +165,12 @@ def main():
     # (fine at 4 envs). conf comment in fold_cloth1_env.py:28-30 documents
     # the levels as memory knobs only.
     is_mpm = args.env in MPM_ENVS
+    if is_mpm:
+        # MPMEnv.create_mesh_for_render feeds np.random.uniform a stubbed
+        # trimesh shape and never returns (render-only path) — no-op it
+        import daxbench.core.envs.basic.mpm_env as _mpm_mod
+
+        _mpm_mod.MPMEnv.create_mesh_for_render = lambda self, size: None
     if not is_mpm:
         # The reference's conf.stiffness is the Python int 900, so
         # state.stiffness traces as int32; on modern jax its cotangent is
