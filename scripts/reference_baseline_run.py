@@ -171,6 +171,25 @@ def main():
         import daxbench.core.envs.basic.mpm_env as _mpm_mod
 
         _mpm_mod.MPMEnv.create_mesh_for_render = lambda self, size: None
+
+        # PrimitiveState carries int leaves (dim=[3], min_dist=0,
+        # dist_norm=0, primitives.py:32-55); modern jax hands their
+        # cotangents to the reference's substep surrogate as float0 and the
+        # tree_map multiply (mpm_simulator.py:353-355) raises. Same class
+        # of issue as the int cloth stiffness: float dtypes restore the
+        # original behavior without touching the math.
+        _orig_cp = _mpm_mod.create_primitive
+
+        def _float_cp(conf, friction, softness, color, size, init_pos):
+            ps = _orig_cp(conf, friction=friction, softness=softness,
+                          color=color, size=size, init_pos=init_pos)
+            return jax.tree_util.tree_map(
+                lambda l: l.astype(jnp.float32)
+                if not jnp.issubdtype(l.dtype, jnp.floating) else l,
+                ps,
+            )
+
+        _mpm_mod.create_primitive = _float_cp
     if not is_mpm:
         # The reference's conf.stiffness is the Python int 900, so
         # state.stiffness traces as int32; on modern jax its cotangent is
