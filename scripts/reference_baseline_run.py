@@ -190,6 +190,41 @@ def main():
             )
 
         _mpm_mod.create_primitive = _float_cp
+
+        # The reference's gradient-stabilization custom-vjps tree_map
+        # `nan_to_num(t + 0.0)` / `where(trigger, t, t/g_norm)` over whole
+        # MPMState cotangents (mpm_simulator.py:390-394), which on modern
+        # jax contain float0 leaves for the int state members (cur_step,
+        # key). float0 IS the symbolic zero cotangent — passing it through
+        # unchanged is exactly what the old zeros-array behavior computed.
+        # Patch tree_map (process-wide, shim only) and optax.global_norm to
+        # skip float0 leaves.
+        from jax.dtypes import float0 as _f0
+
+        _orig_tree_map = jax.tree_util.tree_map
+
+        def _f0_safe_tree_map(f, tree, *rest, **kw):
+            def safe_f(x, *r):
+                if hasattr(x, "dtype") and x.dtype == _f0:
+                    return x
+                return f(x, *r)
+
+            return _orig_tree_map(safe_f, tree, *rest, **kw)
+
+        jax.tree_util.tree_map = _f0_safe_tree_map
+        jax.tree_map = _f0_safe_tree_map
+
+        _orig_gn = optax.global_norm
+
+        def _f0_safe_global_norm(updates):
+            filtered = jax.tree_util.tree_map(
+                lambda x: None if (hasattr(x, "dtype") and x.dtype == _f0) else x,
+                updates,
+                is_leaf=lambda x: hasattr(x, "dtype") and x.dtype == _f0,
+            )
+            return _orig_gn(filtered)
+
+        optax.global_norm = _f0_safe_global_norm
     if not is_mpm:
         # The reference's conf.stiffness is the Python int 900, so
         # state.stiffness traces as int32; on modern jax its cotangent is
