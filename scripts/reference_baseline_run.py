@@ -217,12 +217,11 @@ def main():
         _orig_gn = optax.global_norm
 
         def _f0_safe_global_norm(updates):
-            filtered = jax.tree_util.tree_map(
-                lambda x: None if (hasattr(x, "dtype") and x.dtype == _f0) else x,
-                updates,
-                is_leaf=lambda x: hasattr(x, "dtype") and x.dtype == _f0,
-            )
-            return _orig_gn(filtered)
+            leaves = [
+                x for x in jax.tree_util.tree_leaves(updates)
+                if not (hasattr(x, "dtype") and x.dtype == _f0)
+            ]
+            return _orig_gn(leaves)
 
         optax.global_norm = _f0_safe_global_norm
     if not is_mpm:
