@@ -7,11 +7,23 @@ step() { echo "=== [$(date +%H:%M:%S)] $1 ==="; }
 
 # reference fold_cloth3 @4 — first attempt OOM'd at mem_saving_level=0
 # (50 GB residuals); rerun at the reference's own level 2 after the
-# float-stiffness fix (see scripts/reference_baseline_run.py)
+# float-stiffness fix (see scripts/reference_baseline_run.py). ~6 s/iter
+# on this chip -> 300 iters (fold_cloth1 converged by 200).
 step "reference fold_cloth3 @4 (retry, mem level 2)"
-python scripts/reference_baseline_run.py --env fold_cloth3 --num_envs 4 \
-  --max_it 1000 --eval_freq 20 --out $R/reference_fold_cloth3.jsonl \
+timeout 7200 python scripts/reference_baseline_run.py --env fold_cloth3 \
+  --num_envs 4 --max_it 300 --eval_freq 20 \
+  --out $R/reference_fold_cloth3.jsonl \
   > $R/reference_fold_cloth3_retry.log 2>&1
 tail -2 $R/reference_fold_cloth3.jsonl
+
+# reference whip_rope @4 — first attempt hung in the stubbed render-mesh
+# path; rerun after the shim fixes (no-op mesh, float primitive leaves,
+# float0-safe tree ops)
+step "reference whip_rope @4 (retry)"
+timeout 7200 python scripts/reference_baseline_run.py --env whip_rope \
+  --num_envs 4 --max_it 300 --eval_freq 20 \
+  --out $R/reference_whip_rope.jsonl \
+  > $R/reference_whip_rope_retry.log 2>&1
+tail -2 $R/reference_whip_rope.jsonl
 
 echo "=== followup done ==="

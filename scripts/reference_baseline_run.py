@@ -306,8 +306,11 @@ def main():
 
     @jax.jit
     def run_eval(params, state, key):
+        # reference eval length = core_env.max_steps (apg.py:146):
+        # 3 for the fold tasks, 70 for whip_rope
         (state, _, _), (reward_list,) = jax.lax.scan(
-            do_one_step_eval, (state, params, key), (), length=args.ep_len
+            do_one_step_eval, (state, params, key), (),
+            length=eval_env.max_steps,
         )
         return state, reward_list
 
