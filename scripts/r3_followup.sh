@@ -26,4 +26,14 @@ timeout 7200 python scripts/reference_baseline_run.py --env whip_rope \
   > $R/reference_whip_rope_retry.log 2>&1
 tail -2 $R/reference_whip_rope.jsonl
 
+# unconditioned comparator (skipped by the buffered queue script): same
+# stiffness randomization, policy blind to stiffness
+step "fold_cloth1 no_para comparator"
+python -m unidom_tpu.algorithms.apg_para --env fold_cloth1 --ep_len 3 \
+  --num_envs 4 --lr 1e-4 --max_grad_norm 0.3 --seed 0 --eval_freq 100 \
+  --max_it 2000 --train_min_stiff 1000 --train_max_stiff 1600 \
+  --eval_min_stiff 10 --eval_max_stiff 1800 \
+  --logdir $R/fold_cloth1_no_para > $R/fold_cloth1_no_para.log 2>&1
+grep "sweep mean" $R/fold_cloth1_no_para.log | tail -2
+
 echo "=== followup done ==="
