@@ -90,7 +90,9 @@ def main():
         ("fold_cloth3 @4", "fold_cloth3_4.log", "reference_fold_cloth3.jsonl"),
         ("whip_rope @4", "whip_rope_4.log", "reference_whip_rope.jsonl"),
         ("fold_cloth1 @4", "fold_cloth1_4.log", "reference_fold_cloth1_tpu.jsonl"),
-        ("fold_cloth3 @1024", "fold_cloth3_1024.log", None),
+        ("fold_cloth3 @1024", "fold_cloth3_1024_record.log", None),
+        ("fold_cloth3 @4 s1", "fold_cloth3_4_s1.log", None),
+        ("fold_cloth3 @4 s3", "fold_cloth3_4_s3.log", None),
     ]
     print("| config | ours it0 -> best (it) -> final | reference it0 -> best (it) -> final | ref final cost |")
     print("|---|---|---|---|")
