@@ -52,11 +52,20 @@ def main():
     for det in (False, True):
         end_state, _, rewards = run_eval(params, norm, state, key_eval,
                                          deterministic=det)
-        x = env.packed_x(end_state) if hasattr(env, "packed_x") else end_state.x
-        cost = float(np.mean(np.asarray(cost_fn(x, env.goal))))
         mode = "det" if det else "sampled"
         out[f"test_reward_{mode}"] = float(np.asarray(rewards).sum(0).mean())
-        out[f"final_cost_{mode}"] = cost
+        if env.reset_mode == "auto_reset":
+            # the episode auto-resets on done, so the scan's end state is a
+            # fresh reset — recover the true final cost from the last
+            # reward: r = e^(-10*l2)  =>  l2 = -ln(r)/10 (mpm_env.py:90-94)
+            r_last = float(np.asarray(rewards)[-1].mean())
+            out[f"final_cost_{mode}"] = -np.log(max(r_last, 1e-12)) / 10.0
+        else:
+            x = (env.packed_x(end_state) if hasattr(env, "packed_x")
+                 else end_state.x)
+            out[f"final_cost_{mode}"] = float(
+                np.mean(np.asarray(cost_fn(x, env.goal)))
+            )
     out["cost_metric"] = "l2" if env.reset_mode != "reset" else "chamfer"
     print(json.dumps(out))
 
