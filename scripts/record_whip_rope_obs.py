@@ -1,0 +1,64 @@
+"""Record reference whip_rope observations through the shim (round-3
+verdict item 6): pin the documented 612 -> 615 obs-layout mapping with a
+golden fixture, the way fold_cloth1's obs contract is pinned by recorded
+demos (tests/test_golden.py).
+
+Protocol: reset the reference WhipRopeEnv (batch 2, seed 1), record
+(obs0, x0, v0, prim0 buffer), apply two fixed macro actions via its own
+step_diff, recording obs/x after each. tests/test_golden.py replays the
+same actions from the recorded initial state on our env and checks the
+particle block exactly plus the primitive-buffer mapping (our steps+1
+buffer vs the reference's steps buffer with its silently-dropped last FK
+write — engine/primitives.py docstring).
+
+Run on CPU so the TPU queue is undisturbed:
+    JAX_PLATFORMS=cpu python scripts/record_whip_rope_obs.py
+"""
+
+import os
+import sys
+
+import numpy as np
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _here)
+
+import reference_baseline_run as shim  # noqa: E402  (module-level stubs + imports)
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    env = shim.ENVS["whip_rope"](batch_size=2, seed=1)
+    obs, state = env.reset(jax.random.PRNGKey(1))
+    rec = {
+        "obs0": np.asarray(obs),
+        "x0": np.asarray(state.x),
+        "v0": np.asarray(state.v),
+        "prim_pos0": np.asarray(state.primitives[0].position),
+        "prim_rot0": np.asarray(state.primitives[0].rotation),
+        "steps": np.asarray(env.conf.steps),
+    }
+    actions = np.array(
+        [[[0.3, 0.0, 0.5, 0.0, 0.0, 0.0], [0.3, 0.0, 0.5, 0.0, 0.0, 0.0]],
+         [[-0.2, 0.1, 0.4, 0.0, 0.0, 0.0], [-0.2, 0.1, 0.4, 0.0, 0.0, 0.0]]],
+        np.float32,
+    )  # (2 steps, 2 envs, 6)
+    rec["actions"] = actions
+    for t in range(2):
+        obs, reward, done, info = env.step_diff(jnp.asarray(actions[t]), state)
+        state = info["state"]
+        rec[f"obs{t + 1}"] = np.asarray(obs)
+        rec[f"x{t + 1}"] = np.asarray(state.x)
+        rec[f"reward{t + 1}"] = np.asarray(reward)
+    out = os.path.join(_here, "..", "tests", "fixtures", "whip_rope_ref_obs.npz")
+    np.savez_compressed(out, **rec)
+    print(f"saved {out}: obs {rec['obs0'].shape}, P = {rec['x0'].shape}")
+
+
+if __name__ == "__main__":
+    main()

@@ -84,9 +84,12 @@ class MPMConf:
     seed: int = 0
     task: str = "mpm"
     goal_path: str = ""
-    backend: str = "auto"  # "auto" | "pallas" | "xla": "pallas" swaps the
-    # substep scan for the fused VMEM-resident macro-step kernel
-    # (ops/pallas/mpm_kernel.py); "auto" enables it on TPU when eligible.
+    backend: str = "auto"  # "auto" | "pallas" | "pallas_big" | "xla":
+    # "pallas" swaps the substep scan for a fused macro-step kernel — the
+    # VMEM-resident small kernel (ops/pallas/mpm_kernel.py) when the config
+    # fits its ceiling, else the windowed big-grid kernel
+    # (ops/pallas/mpm_big_kernel.py); "pallas_big" forces the big kernel;
+    # "auto" enables the applicable kernel on TPU.
     transfer: str = "auto"  # "auto" | "scatter" | "dense": particle<->grid
     # transfer scheme. "dense" is the separable tensor-product form (three
     # per-axis B-spline basis matrices contracted on the MXU — no
@@ -227,8 +230,11 @@ class MPMSimulator:
         self._maybe_enable_pallas()
 
     def _maybe_enable_pallas(self):
-        """Swap step_batch for the fused VMEM-resident macro-step kernel
-        (ops/pallas/mpm_kernel.py) when eligible; 'auto' requires TPU."""
+        """Swap step_batch for a fused macro-step kernel when eligible;
+        'auto' requires TPU. Dispatch: the VMEM-resident small kernel
+        (ops/pallas/mpm_kernel.py) when its grid/particle ceiling covers the
+        config, else the windowed/chunked big-grid kernel
+        (ops/pallas/mpm_big_kernel.py); 'pallas_big' forces the latter."""
         want = self.conf.backend
         if want == "xla":
             return
@@ -236,10 +242,16 @@ class MPMSimulator:
             build_mpm_step_kernel,
             mpm_kernel_supported,
         )
+        from unidom_tpu.ops.pallas.mpm_big_kernel import (
+            build_mpm_big_step_kernel,
+            mpm_big_kernel_supported,
+        )
 
-        if not mpm_kernel_supported(self):
-            if want == "pallas":
-                raise ValueError("backend='pallas' but config unsupported")
+        small_ok = want != "pallas_big" and mpm_kernel_supported(self)
+        big_ok = mpm_big_kernel_supported(self)
+        if not (small_ok or big_ok):
+            if want in ("pallas", "pallas_big"):
+                raise ValueError(f"backend={want!r} but config unsupported")
             return
         try:
             on_tpu = jax.default_backend() in ("tpu", "axon")
@@ -247,7 +259,12 @@ class MPMSimulator:
             on_tpu = False
         if want == "auto" and not on_tpu:
             return
-        kernel_step = build_mpm_step_kernel(self, interpret=(not on_tpu))
+        if small_ok:
+            kernel_step = build_mpm_step_kernel(self, interpret=(not on_tpu))
+        else:
+            kernel_step = build_mpm_big_step_kernel(
+                self, interpret=(not on_tpu)
+            )
         conf = self.conf
 
         def step_batch(state, action):
@@ -264,7 +281,7 @@ class MPMSimulator:
             return kernel_step(state, action)
 
         self.step_batch = step_batch
-        self.backend = "pallas"
+        self.backend = "pallas" if small_ok else "pallas_big"
 
     def _pick_transfer(self):
         conf = self.conf

@@ -133,9 +133,16 @@ class UnfoldCloth3Env(_UnfoldClothEnv):
 
 
 def _tshirt_mask(N):
-    """Procedural t-shirt silhouette: body rectangle + two sleeves + neck cut,
-    rasterized at N//2 then centered on the N-grid (same contract as the
-    image-thresholding path, fold_cloth_tshirt_env.py:51-71)."""
+    """The reference's t-shirt mask (fold_cloth_tshirt_env.py:51-71),
+    adopted from its t-shirt.jpg via scripts/adopt_assets.py (cv2-exact
+    resize + rotate + threshold; 3573 particles = the recorded goal cloud's
+    row count). Falls back to a procedural silhouette only if the adopted
+    asset is missing (non-reference N)."""
+    asset = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "assets", "tshirt_mask.npy")
+    if N == 180 and os.path.exists(asset):
+        return np.load(asset).astype(np.float32)
+
     size = N // 2
     h_size = size // 2
     m = np.zeros((size, size), dtype=np.float32)

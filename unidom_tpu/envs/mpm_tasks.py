@@ -366,8 +366,13 @@ PourSoupConf = MPMConf(
 
 
 def _veg_point_cloud(n=160, seed=7):
-    """Procedural stand-in for the reference's vegetable .pcd asset: a small
-    ellipsoidal point cloud near the soup surface (pour_soup_env.py:141-160)."""
+    """The reference's vegetable point cloud (pour_soup_env.py:152-160:
+    model.pcd -> voxel_down_sample(0.5) -> center, /400, +[0.55,0.2,0.5]),
+    adopted via scripts/adopt_assets.py (4131 points). Procedural ellipsoid
+    fallback only if the adopted asset is missing."""
+    asset = os.path.join(ASSET_DIR, "pour_soup_veg.npy")
+    if os.path.exists(asset):
+        return np.load(asset)
     rng = np.random.RandomState(seed)
     pts = rng.normal(size=(n, 3)) * np.array([0.015, 0.006, 0.015])
     return pts + np.array([0.55, 0.2, 0.5])
