@@ -89,9 +89,12 @@ def _cloth_row(num_envs, mesh, ep_len, iters, reps, baseline):
     # substep scan and the robot step — residual memory goes from
     # O(substeps * subactions) to O(subactions) states per env, which is what
     # lets 4096 envs fit in one chip's HBM.
+    import os as _os
+
     conf = ClothConf(
         N=80, stiffness=900.0, mem_saving_level=2, task="bench_fold_cloth3",
         goal_path="", use_substep_obs=False,
+        kernel_dtype=_os.environ.get("BENCH_KDTYPE", "f32"),
     )
     env = FoldCloth3Env(batch_size=num_envs // n_dev, conf=conf)
     dt = _measure_minimize(env, mesh, num_envs, ep_len, iters, reps)
@@ -118,7 +121,15 @@ def _mpm_row(num_envs, mesh, ep_len, iters, reps, baseline):
     log(f"--- mpm row: whip_rope @ {num_envs} envs")
     # whip_rope: the BASELINE MPM config (70 substeps/macro-step, n_grid 64,
     # fused Pallas macro-step kernel with in-kernel segmented backward)
-    env = env_functions["whip_rope"](batch_size=num_envs // n_dev, seed=0)
+    import dataclasses as _dc
+    import os as _os
+
+    kw = {}
+    kdtype = _os.environ.get("BENCH_KDTYPE", "f32")
+    if kdtype != "f32":
+        probe = env_functions["whip_rope"](batch_size=1)
+        kw["conf"] = _dc.replace(probe.conf, kernel_dtype=kdtype)
+    env = env_functions["whip_rope"](batch_size=num_envs // n_dev, seed=0, **kw)
     env.reset(jax.random.PRNGKey(0))  # sizes the observation space
     dt = _measure_minimize(env, mesh, num_envs, ep_len, iters, reps)
     sps = ep_len * num_envs / dt / n_dev

@@ -52,8 +52,8 @@ def load_expert_dataset(data_dir: str, param_names: Sequence[str], n_points=512)
 class ParameterRegressor:
     """PointNet++ (E, nu, ...) regressor with target normalization."""
 
-    def __init__(self, n_params: int, lr=1e-3, seed=0):
-        self.model = PointNet2Cls(out_dim=n_params)
+    def __init__(self, n_params: int, lr=1e-3, seed=0, **model_kwargs):
+        self.model = PointNet2Cls(out_dim=n_params, **model_kwargs)
         self.optim = optax.adam(lr)
         self.key = jax.random.PRNGKey(seed)
         self.params = None

@@ -77,6 +77,8 @@ class ClothConf:
     n_substeps: int = 50
     gripper_radius: float = 0.01  # suction-ball radius (must exceed half the
     # particle spacing 1/N for the gripper to capture cloth)
+    kernel_dtype: str = "f32"  # "f32" | "bf16": Pallas kernel compute dtype
+    # (bf16 = the round-4 VPU-packing throughput probe; see cloth_kernel.py)
     backend: str = "auto"  # "auto" | "xla" | "pallas": auto uses the fused
     # Pallas robot-step kernel on TPU when the env's collision hook is the
     # default identity
@@ -184,8 +186,11 @@ class ClothSimulator:
             return
         from unidom_tpu.ops.pallas.cloth_kernel import build_cloth_robot_step_kernel
 
+        import jax.numpy as _jnp
+
+        kdtype = _jnp.bfloat16 if conf.kernel_dtype == "bf16" else _jnp.float32
         self.step_batch = build_cloth_robot_step_kernel(
-            self, interpret=(not on_tpu)
+            self, interpret=(not on_tpu), dtype=kdtype
         )
         self.backend = "pallas"
 

@@ -90,6 +90,9 @@ class MPMConf:
     # fits its ceiling, else the windowed big-grid kernel
     # (ops/pallas/mpm_big_kernel.py); "pallas_big" forces the big kernel;
     # "auto" enables the applicable kernel on TPU.
+    kernel_dtype: str = "f32"  # "f32" | "bf16": fused-kernel compute dtype for
+    # basis planes / transfer matmul operands / grid ops (mixed-precision
+    # probe; particle state and accumulation stay f32 — mpm_kernel.py)
     transfer: str = "auto"  # "auto" | "scatter" | "dense": particle<->grid
     # transfer scheme. "dense" is the separable tensor-product form (three
     # per-axis B-spline basis matrices contracted on the MXU — no
@@ -259,8 +262,11 @@ class MPMSimulator:
             on_tpu = False
         if want == "auto" and not on_tpu:
             return
+        kdtype = jnp.bfloat16 if self.conf.kernel_dtype == "bf16" else jnp.float32
         if small_ok:
-            kernel_step = build_mpm_step_kernel(self, interpret=(not on_tpu))
+            kernel_step = build_mpm_step_kernel(
+                self, interpret=(not on_tpu), dtype=kdtype
+            )
         else:
             kernel_step = build_mpm_big_step_kernel(
                 self, interpret=(not on_tpu)

@@ -57,6 +57,40 @@ class PointNetSA(nn.Module):
         return centers, feat
 
 
+class PointNetSAMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (Pointnet_SA_MSG,
+    pnet2_layers/layers.py:66-124): one shared FPS center set, a ball query
+    + per-point MLP + max-pool per radius scale, features concatenated."""
+
+    n_centers: int
+    radii: Sequence[float]
+    n_samples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+
+    @nn.compact
+    def __call__(self, xyz, features):
+        from unidom_tpu.models.pointnet_ops import (
+            ball_query,
+            farthest_point_sample,
+            gather_points,
+            group_points,
+        )
+
+        center_idx = farthest_point_sample(xyz, self.n_centers)
+        centers = gather_points(xyz, center_idx)
+        scale_feats = []
+        for radius, n_sample, mlp in zip(self.radii, self.n_samples, self.mlps):
+            idx = ball_query(radius, n_sample, xyz, centers)
+            grouped = group_points(xyz, idx) - centers[:, :, None, :]
+            if features is not None:
+                grouped = jnp.concatenate(
+                    [grouped, group_points(features, idx)], axis=-1
+                )
+            feat = PointMLP(mlp)(grouped)  # (B, S, K, C)
+            scale_feats.append(jnp.max(feat, axis=2))
+        return centers, jnp.concatenate(scale_feats, axis=-1)
+
+
 class PointNetSAAll(nn.Module):
     """Group-all set abstraction (the final SA with group_all=True)."""
 
@@ -91,11 +125,19 @@ class PointNet2Cls(nn.Module):
 
     out_dim: int
     extra_dim: int = 0  # optional conditioning vector appended to the global feature
+    msg: bool = False  # multi-scale grouping in the first SA (SA-MSG parity)
+    dropout: float = 0.4
 
     @nn.compact
     def __call__(self, points, extra: Optional[jnp.ndarray] = None, deterministic=True):
         xyz, feat = points, None
-        xyz, feat = PointNetSA(512, 0.2, 32, (64, 64, 128))(xyz, feat)
+        if self.msg:
+            xyz, feat = PointNetSAMSG(
+                512, (0.1, 0.2, 0.4), (16, 32, 64),
+                ((32, 32, 64), (64, 64, 128), (64, 96, 128)),
+            )(xyz, feat)
+        else:
+            xyz, feat = PointNetSA(512, 0.2, 32, (64, 64, 128))(xyz, feat)
         xyz, feat = PointNetSA(128, 0.4, 64, (128, 128, 256))(xyz, feat)
         global_feat = PointNetSAAll((256, 512, 1024))(xyz, feat)
 
@@ -105,11 +147,11 @@ class PointNet2Cls(nn.Module):
         x = nn.Dense(512)(x)
         x = nn.LayerNorm()(x)
         x = nn.relu(x)
-        x = nn.Dropout(0.4, deterministic=deterministic)(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         x = nn.Dense(256)(x)
         x = nn.LayerNorm()(x)
         x = nn.relu(x)
-        x = nn.Dropout(0.4, deterministic=deterministic)(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return nn.Dense(self.out_dim)(x)
 
 

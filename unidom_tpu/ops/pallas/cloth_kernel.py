@@ -51,11 +51,20 @@ def _roll_bwd(shift, _, g):
 _roll_lanes.defvjp(_roll_fwd, _roll_bwd)
 
 
-def build_cloth_robot_step_kernel(sim, interpret=False):
+def build_cloth_robot_step_kernel(sim, interpret=False, dtype=jnp.float32):
     """Build robot_step(state, action) -> (state, state) backed by Pallas
     kernels with a custom VJP. ``sim`` is a ClothSimulator (dense layout).
-    ``interpret=True`` runs the kernels in the Pallas interpreter (CPU CI)."""
+    ``interpret=True`` runs the kernels in the Pallas interpreter (CPU CI).
+
+    ``dtype=jnp.bfloat16`` is the round-4 throughput probe (the kernel is
+    VPU-bound at f32 speed-of-light, docs/BENCHMARKS.md): state and substep
+    math run in bf16 on 16-sublane blocks (2x VPU lane packing), constants
+    are prepared in f32 then cast, outputs cast back to f32 at the state
+    boundary. Numerical caveat measured by scripts/r4_bf16_probe.py: the
+    spring coefficient stiff*(1/rest - 1/cur) cancels ~80-scale terms,
+    which bf16's 8-bit mantissa resolves poorly."""
     conf = sim.conf
+    block_envs = BLOCK_ENVS if dtype == jnp.float32 else 2 * BLOCK_ENVS
     H, W = sim.H, sim.W
     HW = H * W
     n_sub = conf.n_substeps
@@ -119,7 +128,7 @@ def build_cloth_robot_step_kernel(sim, interpret=False):
         px, py, pz, r = ps[:, 0:1], ps[:, 1:2], ps[:, 2:3], ps[:, 3:4]
         d0, d1, d2 = x0 - px, x1 - py, x2 - pz
         # squared-distance compare (same mask as dist <= r, no sqrt)
-        m = (d0 * d0 + d1 * d1 + d2 * d2 <= r * r).astype(jnp.float32)
+        m = (d0 * d0 + d1 * d1 + d2 * d2 <= r * r).astype(dtype)
         suc = act[:, 3:4]
         v0 = m * (suc * v0) + (1 - m) * v0
         v1 = m * (suc * v1) + (1 - m) * v1
@@ -162,23 +171,23 @@ def build_cloth_robot_step_kernel(sim, interpret=False):
         f1 = f1 - gravity
 
         # ground friction (cloth_simulator.py:280-306), divisions as rsqrt
-        fm = (x1 <= small).astype(jnp.float32)
+        fm = (x1 <= small).astype(dtype)
         muF = mu * jnp.clip(f1, -jnp.inf, 0.0) * -1.0
         sV2 = v0 * v0 + v2 * v2 + small
         inv_sV = jax.lax.rsqrt(sV2)
         sV = sV2 * inv_sV
-        dyn = fm * (sV > small).astype(jnp.float32)
+        dyn = fm * (sV > small).astype(dtype)
         f0 = f0 - dyn * muF * v0 * inv_sV
         f2 = f2 - dyn * muF * v2 * inv_sV
 
-        stat = fm * (sV <= small).astype(jnp.float32)
+        stat = fm * (sV <= small).astype(dtype)
         sF2 = f0 * f0 + f2 * f2 + small
         inv_sF = jax.lax.rsqrt(sF2)
         sF = sF2 * inv_sF
-        zero = stat * (muF > sF).astype(jnp.float32)
+        zero = stat * (muF > sF).astype(dtype)
         f0 = (1.0 - zero) * f0
         f2 = (1.0 - zero) * f2
-        nonzero = stat * (muF <= sF).astype(jnp.float32)
+        nonzero = stat * (muF <= sF).astype(dtype)
         R = 1.0 - muF * inv_sF
         f0 = (R * f0) * nonzero + f0 * (1.0 - nonzero)
         f2 = (R * f2) * nonzero + f2 * (1.0 - nonzero)
@@ -219,7 +228,9 @@ def build_cloth_robot_step_kernel(sim, interpret=False):
 
     def _load_consts(rest_r, valid_r):
         VALID = [valid_r[l : l + 1, :] for l in range(8)]
-        INV_REST = [VALID[l] / rest_r[l : l + 1, :] for l in range(8)]
+        INV_REST = [(VALID[l] / rest_r[l : l + 1, :]).astype(dtype)
+                    for l in range(8)]
+        VALID = [v.astype(dtype) for v in VALID]
         return INV_REST, VALID
 
     def fwd_kernel(x0r, x1r, x2r, v0r, v1r, v2r, ps0r, ps1r, a0r, a1r, kr, mur,
@@ -296,7 +307,7 @@ def build_cloth_robot_step_kernel(sim, interpret=False):
     # ---------------- pallas_call plumbing ---------------- #
 
     def _env_spec(cols):
-        return pl.BlockSpec((BLOCK_ENVS, cols), lambda i: (i, 0),
+        return pl.BlockSpec((block_envs, cols), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     big = functools.partial(_env_spec, HW)
@@ -310,13 +321,13 @@ def build_cloth_robot_step_kernel(sim, interpret=False):
 
     def _shapes(B):
         return (
-            [jax.ShapeDtypeStruct((B, HW), jnp.float32)] * 6
-            + [jax.ShapeDtypeStruct((B, 4), jnp.float32)] * 2
+            [jax.ShapeDtypeStruct((B, HW), dtype)] * 6
+            + [jax.ShapeDtypeStruct((B, 4), dtype)] * 2
         )
 
     def fwd_call(inputs):
         B = inputs[0].shape[0]
-        grid = (B // BLOCK_ENVS,)
+        grid = (B // block_envs,)
         return pl.pallas_call(
             fwd_kernel,
             grid=grid,
@@ -328,17 +339,17 @@ def build_cloth_robot_step_kernel(sim, interpret=False):
 
     def bwd_call(inputs, cotangents):
         B = inputs[0].shape[0]
-        grid = (B // BLOCK_ENVS,)
+        grid = (B // block_envs,)
         out_specs = state_out_specs + [vec4(), vec4(), scal(), scal()]
         out_shape = _shapes(B) + [
-            jax.ShapeDtypeStruct((B, 4), jnp.float32),
-            jax.ShapeDtypeStruct((B, 4), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 4), dtype),
+            jax.ShapeDtypeStruct((B, 4), dtype),
+            jax.ShapeDtypeStruct((B, 1), dtype),
+            jax.ShapeDtypeStruct((B, 1), dtype),
         ]
         scratch = (
-            [pltpu.VMEM((n_sub, BLOCK_ENVS, HW), jnp.float32)] * 6
-            + [pltpu.VMEM((n_sub, BLOCK_ENVS, 4), jnp.float32)] * 2
+            [pltpu.VMEM((n_sub, block_envs, HW), dtype)] * 6
+            + [pltpu.VMEM((n_sub, block_envs, 4), dtype)] * 2
         )
         return pl.pallas_call(
             bwd_kernel,
@@ -363,13 +374,15 @@ def build_cloth_robot_step_kernel(sim, interpret=False):
         action1 = jnp.concatenate(
             [action[:, 4:7].clip(-2, 2) / n_sub, action[:, 7:8]], axis=1
         )
-        return (
+        inputs = (
             x[:, :, 0], x[:, :, 1], x[:, :, 2],
             v[:, :, 0], v[:, :, 1], v[:, :, 2],
             state.primitive0, state.primitive1,
             action0, action1,
             state.stiffness.reshape(B, 1), state.mu.reshape(B, 1),
-        ), (action0, action1)
+        )
+        inputs = tuple(t.astype(dtype) for t in inputs)
+        return inputs, (action0, action1)
 
     @jax.custom_vjp
     def _core(inputs):
@@ -390,7 +403,7 @@ def build_cloth_robot_step_kernel(sim, interpret=False):
         not a multiple of BLOCK_ENVS are padded (rows replicated) and the
         pad rows sliced away after — cotangents only flow through real rows."""
         B_real = state.x.shape[0]
-        pad = (-B_real) % BLOCK_ENVS
+        pad = (-B_real) % block_envs
         if pad:
             # pad may exceed B_real (e.g. B=2 -> pad=6): tile, don't slice —
             # a short fill row count would leave B % BLOCK_ENVS != 0, a zero
@@ -405,9 +418,11 @@ def build_cloth_robot_step_kernel(sim, interpret=False):
         B = state.x.shape[0]
         inputs, (action0, action1) = _pack(state, action)
         x0, x1, x2, v0, v1, v2, nps0, nps1 = _core(inputs)
-        x = jnp.stack([x0, x1, x2], axis=-1).reshape(B, H, W, 3)
-        v = jnp.stack([v0, v1, v2], axis=-1).reshape(B, H, W, 3)
+        x = jnp.stack([x0, x1, x2], axis=-1).reshape(B, H, W, 3).astype(jnp.float32)
+        v = jnp.stack([v0, v1, v2], axis=-1).reshape(B, H, W, 3).astype(jnp.float32)
         key = jax.vmap(lambda k: jax.random.split(k)[0])(state.key)
+        nps0 = nps0.astype(jnp.float32)
+        nps1 = nps1.astype(jnp.float32)
         nstate = state._replace(
             x=x, v=v, primitive0=nps0, primitive1=nps1,
             action0=action0, action1=action1, key=key,

@@ -193,9 +193,16 @@ def mpm_kernel_supported(sim):
     return True
 
 
-def build_mpm_step_kernel(sim, interpret=False):
+def build_mpm_step_kernel(sim, interpret=False, dtype=jnp.float32):
     """Build step_batch(state, action) -> (state, state) backed by the fused
-    kernel with a custom VJP. ``sim`` is a finalized MPMSimulator."""
+    kernel with a custom VJP. ``sim`` is a finalized MPMSimulator.
+
+    ``dtype=jnp.bfloat16`` is the round-4 mixed-precision probe (the trace
+    shows the kernel VPU-bound with transfer matmuls at 16.7% MXU,
+    docs/BENCHMARKS.md): basis planes, transfer matmul operands, and grid
+    ops run in bf16 (2x VPU lane packing, 2x MXU rate); particle state,
+    stress math, and matmul accumulation stay f32. Measured by
+    scripts/r4_bf16_probe.py."""
     conf = sim.conf
     rx, ry, rz = conf.res
     ryrz = ry * rz
@@ -236,7 +243,7 @@ def build_mpm_step_kernel(sim, interpret=False):
         """xd_row: (1, PC) scaled x coordinate. Returns (w, wd): (rx, PC)
         with w[i, p] the node-i weight and wd = w * (i - xd)."""
         i = jax.lax.broadcasted_iota(jnp.int32, (rx, PC), 0)  # f32 iota is
-        t = i.astype(jnp.float32) - xd_row  # not a legal tpu.iota result
+        t = (i.astype(jnp.float32) - xd_row).astype(dtype)  # not a legal tpu.iota result
         w = _spline(t)
         return w, w * t
 
@@ -244,8 +251,8 @@ def build_mpm_step_kernel(sim, interpret=False):
         """yd/zd: (PC, 1) scaled coords. Returns byc, byc_yd, byc_zd:
         (PC, ryrz) products of the y/z bases on the flattened plane."""
         jk = jax.lax.broadcasted_iota(jnp.int32, (PC, ryrz), 1)
-        ty = (jk // rz).astype(jnp.float32) - yd_col
-        tz = (jk % rz).astype(jnp.float32) - zd_col
+        ty = ((jk // rz).astype(jnp.float32) - yd_col).astype(dtype)
+        tz = ((jk % rz).astype(jnp.float32) - zd_col).astype(dtype)
         wy = _spline(ty)
         wz = _spline(tz)
         return wy * wz, (wy * ty) * wz, wy * (wz * tz)
@@ -271,7 +278,7 @@ def build_mpm_step_kernel(sim, interpret=False):
         """Per-chunk bases, shared between P2G and G2P (positions do not
         change in between; recomputing them doubles the dominant
         plane-op count and overflows the LLO register allocator)."""
-        vmask = _chunk(valid, c)
+        vmask = _chunk(valid, c).astype(dtype)
         wx, wxd = _x_basis(_chunk(x[0], c) * inv_dx)
         wx = wx * vmask
         wxd = wxd * vmask
@@ -291,9 +298,9 @@ def build_mpm_step_kernel(sim, interpret=False):
                 lhs = wx * (p_mass * _chunk(v[ch], c)) + (dx * _chunk(
                     affine[ch][0], c
                 )) * wxd
-                acc = _mm(lhs, byc)
-                acc += _mm((dx * _chunk(affine[ch][1], c)) * wx, byc_yd)
-                acc += _mm((dx * _chunk(affine[ch][2], c)) * wx, byc_zd)
+                acc = _mm(lhs.astype(dtype), byc)
+                acc += _mm(((dx * _chunk(affine[ch][1], c)) * wx).astype(dtype), byc_yd)
+                acc += _mm(((dx * _chunk(affine[ch][2], c)) * wx).astype(dtype), byc_zd)
                 g[ch] = g[ch] + acc
             gm = gm + _mm(wx * p_mass, byc)
         return tuple(g), gm
@@ -412,6 +419,8 @@ def build_mpm_step_kernel(sim, interpret=False):
             # --- P2G ---
             bases = [_bases(x, valid, c) for c in range(NC)]
             g, gm = _p2g(bases, v, affine)
+            g = tuple(gc.astype(dtype) for gc in g)
+            gm = gm.astype(dtype)
 
             # --- primitive FK (engine/primitives.py forward_kinematics) ---
             new_prims = []
@@ -431,14 +440,14 @@ def build_mpm_step_kernel(sim, interpret=False):
             g = tuple(g[i] + dt * grav[i] for i in range(3))
 
             xi, yi, zi = _grid_indices()
-            gx = (xi.astype(jnp.float32) * dx, yi.astype(jnp.float32) * dx,
-                  zi.astype(jnp.float32) * dx)
+            gx = (xi.astype(dtype) * dx, yi.astype(dtype) * dx,
+                  zi.astype(dtype) * dx)
 
             # (1, 1)-shaped per-env values broadcast against (rx, ryrz)
             # planes must be rank-0 scalars — Mosaic has no combined
             # sublane+lane broadcast for vectors, but scalars are fine.
             def _s(a):
-                return a[0, 0]
+                return a[0, 0].astype(dtype)
 
             for ip in range(n_prim):
                 p_cur = tuple(_s(c) for c in prims[ip][0])
@@ -476,8 +485,8 @@ def build_mpm_step_kernel(sim, interpret=False):
                         vt_norm + nrm * fric, 1e-12, jnp.inf
                     ) / vt_norm
                     flag = (
-                        (nrm < 0).astype(jnp.float32)
-                        * (jnp.sqrt(vt_dot) > 1e-12).astype(jnp.float32)
+                        (nrm < 0).astype(dtype)
+                        * (jnp.sqrt(vt_dot) > 1e-12).astype(dtype)
                     )
                     vt = tuple(
                         (vt[i] * fric_scale) * flag + vt[i] * (1.0 - flag)
@@ -489,9 +498,9 @@ def build_mpm_step_kernel(sim, interpret=False):
                     )
 
             # ground friction, bottom 3 layers (mpm_simulator.py:296-307)
-            gidx = (xi.astype(jnp.float32), yi.astype(jnp.float32),
-                    zi.astype(jnp.float32))
-            gf_s = gf[0, 0]
+            gidx = (xi.astype(dtype), yi.astype(dtype),
+                    zi.astype(dtype))
+            gf_s = gf[0, 0].astype(dtype)
             lin = g[1] + 1e-30
             vit = (g[0] - gidx[0] * 1e-30,
                    g[1] - lin - gidx[1] * 1e-30,
