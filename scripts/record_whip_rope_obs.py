@@ -11,8 +11,11 @@ particle block exactly plus the primitive-buffer mapping (our steps+1
 buffer vs the reference's steps buffer with its silently-dropped last FK
 write — engine/primitives.py docstring).
 
-Run on CPU so the TPU queue is undisturbed:
-    JAX_PLATFORMS=cpu python scripts/record_whip_rope_obs.py
+Run on the TPU (RECORD_ON_TPU=1): the reference engine's XLA-CPU compile
+of its 27x-materialized scatter substep is pathological (>15 min, ~70% of
+host RAM — observed round 4); the TPU compile is ~5 min (r3 shim record).
+
+    RECORD_ON_TPU=1 python scripts/record_whip_rope_obs.py
 """
 
 import os
@@ -20,10 +23,12 @@ import sys
 
 import numpy as np
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if not os.environ.get("RECORD_ON_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("RECORD_ON_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 _here = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _here)

@@ -245,3 +245,54 @@ def test_pour_soup_true_res_xla_smoke():
     a = jnp.asarray(np.zeros((1, 6), np.float32))
     obs, reward, done, info = env.step_diff(a, state)
     assert np.isfinite(np.asarray(info["state"].x)).all()
+
+
+def test_mixture_and_container_parity():
+    """pour_soup-class config at small res: mixed water+elastic materials,
+    two container (bowl) SDF primitives, multiple chunks — forward + action
+    grad vs the oracle."""
+    def build(backend):
+        conf = MPMConf(
+            n_grid=32, dt=4e-4, steps=4, E=5e-5, nu=0.4999, res=(24, 12, 16),
+            ground_friction=0.1, backend=backend, task="t", goal_path="",
+        )
+        sim = MPMSimulator(conf, batch_size=B, use_position_control=False)
+        state = sim.add_box(None, size=[0.2, 0.2, 0.2], init_pos=[0.4, 0.2, 0.25],
+                            material=WATER, density=2.0)
+        state = sim.add_box(state, size=[0.1, 0.05, 0.05],
+                            init_pos=[0.5, 0.05, 0.25], material=ELASTIC,
+                            density=2.0, hardness=0.3)
+        for init_pos in ([0.4, 0.2, 0.25], [0.5, 0.06, 0.2]):
+            prim = create_primitive(conf.steps, friction=0.1, softness=666.0,
+                                    color=[0.5] * 3, size=[0.09, 0.0, 0.008],
+                                    init_pos=init_pos)
+            state.primitives.append(prim)
+            sim.register_primitive_sdf("container")
+        state = sim.reset(state)
+        return sim, state
+
+    sim_x, state = build("xla")
+    sim_b, _ = build("pallas_big")
+    assert sim_b.n_particles > 128  # multi-chunk
+    key = jax.random.PRNGKey(3)
+    state = state._replace(v=jax.random.normal(key, state.v.shape) * 0.1)
+    a = jnp.asarray(np.array([[0.3, 0.0, 0.1, 0.0, 0.0, 0.05],
+                              [0.2, 0.0, -0.1, 0.05, 0.0, 0.0]], np.float32))
+    a = jnp.concatenate([a, jnp.zeros_like(a)], axis=1)  # 2 prims -> 12 wide
+
+    ref, _ = sim_x.step_batch(state, a)
+    out, _ = sim_b.step_batch(state, a)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v),
+                               rtol=1e-3, atol=1e-3)
+
+    def loss(step_fn, a):
+        o, _ = step_fn(state, a)
+        return jnp.sum(o.x * jnp.cos(o.x))
+
+    g_ref = jax.grad(lambda a: loss(sim_x.step_batch, a))(a)
+    g_big = jax.grad(lambda a: loss(sim_b.step_batch, a))(a)
+    scale = np.abs(np.asarray(g_ref)).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(g_big) / scale,
+                               np.asarray(g_ref) / scale, rtol=2e-3, atol=1e-4)
