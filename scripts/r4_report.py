@@ -58,7 +58,9 @@ def main():
         if rows:
             ref_costs.append(min(r["final_chamfer"] for r in rows))
             ref_rewards.append(max(r["test_reward"] for r in rows))
-    ours = read_jsonl(os.path.join(R4, "ours_fold_cloth3_seed_costs.jsonl"))
+    ours = read_jsonl(os.path.join(R4, "ours_fold_cloth3_seed_costs_r4.jsonl"))
+    if len(ours) < 4:  # fall back to the r3-checkpoint evals
+        ours = read_jsonl(os.path.join(R4, "ours_fold_cloth3_seed_costs.jsonl"))
     our_costs = [min(r["final_cost_det"], r["final_cost_sampled"]) for r in ours]
     our_rewards = [max(r["test_reward_det"], r["test_reward_sampled"]) for r in ours]
 

@@ -448,7 +448,7 @@ def build_mpm_big_step_kernel(sim, interpret=False):
 
     # ---------------- one full substep on scratch refs ---------------- #
 
-    def run_substep(ps, aff, grid, consts, mats, gf, prims, theta):
+    def run_substep(ps, aff, grid, consts, vrow, mats, gf, prims, theta):
         """Advance ps (N_COMP, NC, PC) in place by one substep using grid
         (4, rx, ryrz) and aff (9, NC, PC) scratch. Returns new_prims."""
         valid, h, water, plastic_m, vm_m = (consts[i] for i in range(5))
@@ -473,7 +473,7 @@ def build_mpm_big_step_kernel(sim, interpret=False):
                 tuple(_row(aff, 3 * i + j, c) for j in range(3))
                 for i in range(3)
             )
-            vmask = jax.lax.dynamic_slice_in_dim(valid, c, 1, axis=0)
+            vmask = vrow(c)
             ox = window_origin(xc[0], vmask)
             gwin, gmwin = p2g_chunk(xc, vc, affc, vmask, ox)
             for ch in range(3):
@@ -499,7 +499,7 @@ def build_mpm_big_step_kernel(sim, interpret=False):
         def g2p_body(c, _):
             xc = tuple(_row(ps, _IX + i, c) for i in range(3))
             Jc = _row(ps, _IJ, c)
-            vmask = jax.lax.dynamic_slice_in_dim(valid, c, 1, axis=0)
+            vmask = vrow(c)
             ox = window_origin(xc[0], vmask)
             win = tuple(grid[ch, pl.ds(ox, WX), :] for ch in range(3))
             new_x, new_v, new_C, new_J = g2p_chunk(xc, Jc, win, vmask, ox)
@@ -520,12 +520,16 @@ def build_mpm_big_step_kernel(sim, interpret=False):
         consts = tuple(const_ref[0, i] for i in range(5))
         mats = tuple(mat_ref[0, i] for i in range(3))
         gf = scal_ref[0, 0, 0]  # (1, 1, 8) block -> rank-0
-        return consts, mats, gf
+        # per-chunk validity row read straight off the ref: lax.dynamic_slice
+        # on a loaded VALUE has no Mosaic lowering (KernelType.TC), ref
+        # indexing with pl.ds does
+        vrow = lambda c: const_ref[0, 0, pl.ds(c, 1), :]
+        return consts, vrow, mats, gf
 
     def fwd_kernel(state_ref, mat_ref, scal_ref, prim_ref, const_ref,
                    out_ref, traj_ref, hist_ref, hist_prim_ref,
                    ps, aff, grid):
-        consts, mats, gf = _read_inputs(mat_ref, scal_ref, const_ref)
+        consts, vrow, mats, gf = _read_inputs(mat_ref, scal_ref, const_ref)
         prims, theta = _read_prims(prim_ref)
         for k in range(N_COMP):
             ps[k] = state_ref[0, k]
@@ -543,7 +547,7 @@ def build_mpm_big_step_kernel(sim, interpret=False):
                 @pl.when(t % CKPT_K == 0)
                 def _():
                     _store_ckpt(t // CKPT_K, prims)
-            new_prims = run_substep(ps, aff, grid, consts, mats, gf, prims, theta)
+            new_prims = run_substep(ps, aff, grid, consts, vrow, mats, gf, prims, theta)
             for ip in range(n_prim):
                 traj_ref[0, ip, pl.ds(t + 1, 1), :] = _traj_row(new_prims[ip])
             return new_prims
@@ -559,7 +563,7 @@ def build_mpm_big_step_kernel(sim, interpret=False):
     def _make_seg_kernel(L):
         def seg_kernel(start_ref, startprim_ref, mat_ref, scal_ref, prim_ref,
                        const_ref, shist_ref, shist_prim_ref, ps, aff, grid):
-            consts, mats, gf = _read_inputs(mat_ref, scal_ref, const_ref)
+            consts, vrow, mats, gf = _read_inputs(mat_ref, scal_ref, const_ref)
             _, theta = _read_prims(prim_ref)
             prims0 = _read_prim_rows(startprim_ref)
             for k in range(N_COMP):
@@ -570,7 +574,7 @@ def build_mpm_big_step_kernel(sim, interpret=False):
                     shist_ref[0, t, k] = ps[k]
                 for ip in range(n_prim):
                     shist_prim_ref[0, t, ip] = _traj_row(prims[ip])
-                return run_substep(ps, aff, grid, consts, mats, gf, prims, theta)
+                return run_substep(ps, aff, grid, consts, vrow, mats, gf, prims, theta)
 
             jax.lax.fori_loop(0, L, body, prims0)
 
@@ -583,8 +587,7 @@ def build_mpm_big_step_kernel(sim, interpret=False):
                         dstate_ref, dprimc_ref, dmat_ref, dscal_ref,
                         dptheta_ref,
                         aff, grid, grid2, dgrid, dgm):
-        consts, mats, gf = _read_inputs(mat_ref, scal_ref, const_ref)
-        valid = consts[0]
+        consts, vrow, mats, gf = _read_inputs(mat_ref, scal_ref, const_ref)
         _, theta = _read_prims(prim_ref)
         prims = _read_prim_rows(saved_prim_ref)
         mu_raw, la_raw, ys = mats
@@ -622,7 +625,7 @@ def build_mpm_big_step_kernel(sim, interpret=False):
                 tuple(_row(aff, 3 * i + j, c) for j in range(3))
                 for i in range(3)
             )
-            vmask = jax.lax.dynamic_slice_in_dim(valid, c, 1, axis=0)
+            vmask = vrow(c)
             ox = window_origin(xc[0], vmask)
             gwin, gmwin = p2g_chunk(xc, vc, affc, vmask, ox)
             for ch in range(3):
@@ -655,7 +658,7 @@ def build_mpm_big_step_kernel(sim, interpret=False):
         def g2p_bwd_body(c, _):
             xc = tuple(saved_ref[0, _IX + i, pl.ds(c, 1), :] for i in range(3))
             Jc = saved_ref[0, _IJ, pl.ds(c, 1), :]
-            vmask = jax.lax.dynamic_slice_in_dim(valid, c, 1, axis=0)
+            vmask = vrow(c)
             ox = window_origin(xc[0], vmask)
             win = tuple(grid2[ch, pl.ds(ox, WX), :] for ch in range(3))
 
@@ -720,7 +723,7 @@ def build_mpm_big_step_kernel(sim, interpret=False):
                 tuple(_row(aff, 3 * i + j, c) for j in range(3))
                 for i in range(3)
             )
-            vmask = jax.lax.dynamic_slice_in_dim(valid, c, 1, axis=0)
+            vmask = vrow(c)
             ox = window_origin(xc[0], vmask)
 
             def p2g_in(xc, vc, affc):
