@@ -89,11 +89,15 @@ def _ckpt_stride(steps, nc):
 
 
 def _window(res):
-    """Static x-window width: full rx when small, else 16/32."""
+    """Static x-window width. Origins must be 8-aligned (Mosaic requires
+    dynamic sublane offsets provably multiple-of-8), which costs up to 7
+    rows of coverage at the bottom of the window — widths are sized so the
+    usable extent (WX - 3 stencil - 7 alignment) still comfortably covers a
+    sorted chunk's x spread."""
     rx = res[0]
-    if rx <= 16:
-        return rx
-    return 16 if rx <= 64 else 32
+    if rx <= 32:
+        return rx  # no windowing: origin is the constant 0
+    return 24 if rx <= 64 else 32
 
 
 def mpm_big_kernel_supported(sim):
@@ -233,11 +237,14 @@ def build_mpm_big_step_kernel(sim, interpret=False):
         return Fn, affine
 
     def window_origin(x0_row, vmask):
-        """Chunk x-window origin (int32 scalar) from the chunk's x row
-        (1, PC) + validity row. Covers min(base) .. min(base)+WX-1."""
+        """Chunk x-window origin (int32 scalar, 8-aligned) from the chunk's
+        x row (1, PC) + validity row. Covers min(base) .. min(base)+WX-1
+        minus up to 7 alignment rows (see _window)."""
         mn = jnp.min(jnp.where(vmask > 0.5, x0_row, 1e9))
         ox = jnp.floor(mn * inv_dx - 0.5).astype(jnp.int32)
-        return jnp.clip(ox, 0, rx - WX)
+        ox = jnp.clip(ox, 0, rx - WX)
+        # rx and WX are multiples of 8, so the aligned origin stays in range
+        return pl.multiple_of((ox // 8) * 8, 8)
 
     def _win_bases(xc, vmask, ox):
         """Windowed x basis + full (y, z) plane bases for one chunk.
