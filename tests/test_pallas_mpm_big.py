@@ -133,10 +133,10 @@ def test_forward_water_and_von_mises():
 
 def test_multi_chunk_and_windowed():
     """P > 128 (multiple chunks) and rx > WX (windows genuinely dynamic):
-    res (32, 8, 16) makes _window return 16 < rx."""
+    res (48, 8, 16) makes _window return 24 < rx."""
     from unidom_tpu.ops.pallas.mpm_big_kernel import _window
 
-    res = (32, 8, 16)
+    res = (48, 8, 16)
     assert _window(res) < res[0]
     sim_x, sim_b, state = build_pair(density=3.0, res=res)
     assert sim_b.n_particles > 128
