@@ -33,6 +33,7 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
 
     env = env_functions["shape_rope"](batch_size=num_envs, seed=0)
+    env.reset(jax.random.PRNGKey(0))  # MPM envs size their obs at reset
     ppo = PPO(env, lr=3e-4, seed=0)
 
     @jax.jit
