@@ -89,12 +89,14 @@ def _cloth_row(num_envs, mesh, ep_len, iters, reps, baseline):
     # substep scan and the robot step — residual memory goes from
     # O(substeps * subactions) to O(subactions) states per env, which is what
     # lets 4096 envs fit in one chip's HBM.
-    import os as _os
-
+    # kernel_dtype stays f32 here regardless of BENCH_KDTYPE: the cloth
+    # bf16 probe was REJECTED on numerics (docs/BENCHMARKS.md round-4 table
+    # — the spring coefficient cancels ~80-scale terms below bf16's
+    # mantissa), so the shipped cloth config is f32-only and BENCH_KDTYPE
+    # measures the MPM row's opt-in bf16 delta.
     conf = ClothConf(
         N=80, stiffness=900.0, mem_saving_level=2, task="bench_fold_cloth3",
         goal_path="", use_substep_obs=False,
-        kernel_dtype=_os.environ.get("BENCH_KDTYPE", "f32"),
     )
     env = FoldCloth3Env(batch_size=num_envs // n_dev, conf=conf)
     dt = _measure_minimize(env, mesh, num_envs, ep_len, iters, reps)

@@ -286,6 +286,15 @@ class MPMSimulator:
             state = state._replace(primitives=prims)
             return kernel_step(state, action)
 
+        if not small_ok:
+            # Big-grid configs: one kernel call's checkpoint history is
+            # (B, N_CKPT, 25, NC, 128) — ~150 MB at shape_elasto B=16. The
+            # env scans ~20 calls per macro action and BPTT stacks every
+            # macro step, which put 8.8 GB of hist residuals in HBM
+            # (runs/r4/bench_shape_elasto.log). Remat the whole macro call:
+            # residuals become just the input state; the backward replays
+            # the forward kernel once per call (~+fwd/bwd time, ~25%).
+            step_batch = jax.checkpoint(step_batch)
         self.step_batch = step_batch
         self.backend = "pallas" if small_ok else "pallas_big"
 

@@ -138,8 +138,10 @@ def build_mpm_big_step_kernel(sim, interpret=False):
     NC = _nc(P)
     PPAD = NC * PC
     WX = _window(conf.res)
-    # static grid-op slab split (last slab may be shorter)
-    SX = min(rx, 16)
+    # static grid-op slab split (last slab may be shorter). Slab planes are
+    # (SX, ryrz) live values in the kernel: cap them at ~256 kB so the
+    # backward's per-slab linearization fits VMEM at 1M-cell grids.
+    SX = min(rx, 16 if ryrz <= 4096 else 8)
     slab_rows = [(s, min(SX, rx - s)) for s in range(0, rx, SX)]
 
     CKPT_K = _ckpt_stride(steps, NC)
@@ -669,6 +671,11 @@ def build_mpm_big_step_kernel(sim, interpret=False):
             ox = window_origin(xc[0], vmask)
             win = tuple(grid2[ch, pl.ds(ox, WX), :] for ch in range(3))
 
+            # NOTE: no jax.checkpoint here — Mosaic has no lowering for
+            # remat2 inside a TPU kernel (runs/r4/bigrid_parity2.jsonl;
+            # interpret mode accepts it silently). Liveness is bounded
+            # structurally instead: chunk/slab walks are fori_loops, so one
+            # iteration's linearization residuals are live at a time.
             def g2p_in(xc, Jc, win):
                 return g2p_chunk(xc, Jc, win, vmask, ox)
 
@@ -695,32 +702,72 @@ def build_mpm_big_step_kernel(sim, interpret=False):
         jax.lax.fori_loop(0, NC, g2p_bwd_body, 0)
 
         # 6. grid-op adjoint per slab: dgrid (d_gpost) -> d_graw in place,
-        # d_gm into dgm, scalar cotangents accumulated in python values
-        d_prims_acc = None
-        d_newprims_acc = None
-        d_theta_acc = None
-        d_gf_acc = jnp.zeros((), jnp.float32)
-        for row0, S in slab_rows:
-            graw = tuple(grid[ch, row0 : row0 + S, :] for ch in range(3))
-            gm = grid[3, row0 : row0 + S, :]
+        # d_gm into dgm, scalar cotangents accumulated in the loop carry.
+        # A lax.fori_loop (not a Python unroll) + jax.checkpoint keeps one
+        # slab's linearization live at a time — unrolled, the 8 slabs'
+        # residual planes at pour_soup res stacked into Mosaic spill slots.
+        zerof = jnp.zeros((), jnp.float32)
+        zeros_like_tree = lambda t: jax.tree_util.tree_map(
+            lambda _: zerof, t
+        )
+        add_tree = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
 
-            def gop_in(graw, gm, prims, new_prims, theta, gf, row0=row0, S=S):
+        def slab_body(s, carry):
+            d_prims_acc, d_newprims_acc, d_theta_acc, d_gf_acc = carry
+            row0 = pl.multiple_of(s * SX, 8)
+            graw = tuple(grid[ch, pl.ds(row0, SX), :] for ch in range(3))
+            gm = grid[3, pl.ds(row0, SX), :]
+
+            def gop_in(graw, gm, prims, new_prims, theta, gf):
                 return gridop_slab(graw, gm, prims, new_prims, theta, gf,
-                                   row0, S)
+                                   row0, SX)
 
             _, vjpG = jax.vjp(gop_in, graw, gm, prims, new_prims, theta, gf)
-            dg = tuple(dgrid[ch, row0 : row0 + S, :] for ch in range(3))
+            dg = tuple(dgrid[ch, pl.ds(row0, SX), :] for ch in range(3))
             dgraw, dgm_s, dpr, dnpr, dth, dgf = vjpG(dg)
             for ch in range(3):
-                dgrid[ch, row0 : row0 + S, :] = dgraw[ch]
-            dgm[0, row0 : row0 + S, :] = dgm_s
-            add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
-            d_prims_acc = dpr if d_prims_acc is None else add(d_prims_acc, dpr)
-            d_newprims_acc = (
-                dnpr if d_newprims_acc is None else add(d_newprims_acc, dnpr)
+                dgrid[ch, pl.ds(row0, SX), :] = dgraw[ch]
+            dgm[0, pl.ds(row0, SX), :] = dgm_s
+            return (
+                add_tree(d_prims_acc, dpr),
+                add_tree(d_newprims_acc, dnpr),
+                add_tree(d_theta_acc, dth),
+                d_gf_acc + dgf,
             )
-            d_theta_acc = dth if d_theta_acc is None else add(d_theta_acc, dth)
-            d_gf_acc = d_gf_acc + dgf
+
+        carry0 = (
+            zeros_like_tree(prims),
+            zeros_like_tree(new_prims),
+            zeros_like_tree(theta),
+            zerof,
+        )
+        if rx % SX == 0:
+            d_prims_acc, d_newprims_acc, d_theta_acc, d_gf_acc = (
+                jax.lax.fori_loop(0, rx // SX, slab_body, carry0)
+            )
+        else:  # ragged tail: unrolled static slabs (small grids only)
+            carry = carry0
+            for row0s, S in slab_rows:
+                graw = tuple(grid[ch, row0s : row0s + S, :] for ch in range(3))
+                gm = grid[3, row0s : row0s + S, :]
+
+                def gop_in(graw, gm, prims, new_prims, theta, gf,
+                           row0s=row0s, S=S):
+                    return gridop_slab(graw, gm, prims, new_prims, theta, gf,
+                                       row0s, S)
+
+                _, vjpG = jax.vjp(gop_in, graw, gm, prims, new_prims, theta,
+                                  gf)
+                dg = tuple(dgrid[ch, row0s : row0s + S, :] for ch in range(3))
+                dgraw, dgm_s, dpr, dnpr, dth, dgf = vjpG(dg)
+                for ch in range(3):
+                    dgrid[ch, row0s : row0s + S, :] = dgraw[ch]
+                dgm[0, row0s : row0s + S, :] = dgm_s
+                carry = (
+                    add_tree(carry[0], dpr), add_tree(carry[1], dnpr),
+                    add_tree(carry[2], dth), carry[3] + dgf,
+                )
+            d_prims_acc, d_newprims_acc, d_theta_acc, d_gf_acc = carry
 
         # 7. P2G adjoint per chunk: d_graw windows -> d_x (+=), d_v, d_affine
         def p2g_bwd_body(c, _):

@@ -287,42 +287,72 @@ def build_mpm_step_kernel(sim, interpret=False, dtype=jnp.float32):
         )
         return wx, wxd, byc, byc_yd, byc_zd
 
-    def _p2g(bases, v, affine):
+    # Stacked transfers (round-4 MXU-utilization rework): the original
+    # per-chunk form issued 19 matmuls per chunk per substep with M=rx
+    # (often 32) and K=PC (often 72), filling 14-17% of the 128x128 MXU
+    # (docs/BENCHMARKS.md trace table). Instead, stack the three channels
+    # (+ the mass row) along M via aligned sublane concats and the three
+    # basis planes x NC chunks along K, so:
+    #   P2G = ONE (3rx+rx, NC*3PC) @ (NC*3PC, ryrz) matmul  (M = 4rx >= 128)
+    #   G2P = ONE (3rx, ryrz) @ (ryrz, NC*3PC) contraction  (K = ryrz, large)
+    # The chunk-summed accumulation P2G needs *is* the K contraction, and
+    # the shared rhs block is built once per substep for both transfers.
+
+    def _stack_rhs(bases):
+        """(NC*3PC, ryrz) sublane-stack [byc; byc_yd; byc_zd] per chunk."""
+        return jnp.concatenate(
+            [jnp.concatenate([b[2], b[3], b[4]], axis=0) for b in bases],
+            axis=0,
+        )
+
+    def _p2g(bases, rhs, v, affine):
         """v: 3-tuple of (NC, PC); affine: m3 nested tuple. Returns grid
         velocity planes (3) and mass plane, each (rx, ryrz)."""
-        g = [jnp.zeros((rx, ryrz), jnp.float32) for _ in range(3)]
-        gm = jnp.zeros((rx, ryrz), jnp.float32)
+        zero = jnp.zeros((rx, PC), dtype)
+        blocks = []
         for c in range(NC):
-            wx, wxd, byc, byc_yd, byc_zd = bases[c]
+            wx, wxd = bases[c][0], bases[c][1]
+            rows = []
             for ch in range(3):
-                lhs = wx * (p_mass * _chunk(v[ch], c)) + (dx * _chunk(
-                    affine[ch][0], c
-                )) * wxd
-                acc = _mm(lhs.astype(dtype), byc)
-                acc += _mm(((dx * _chunk(affine[ch][1], c)) * wx).astype(dtype), byc_yd)
-                acc += _mm(((dx * _chunk(affine[ch][2], c)) * wx).astype(dtype), byc_zd)
-                g[ch] = g[ch] + acc
-            gm = gm + _mm(wx * p_mass, byc)
-        return tuple(g), gm
+                p0 = wx * (p_mass * _chunk(v[ch], c)) + (
+                    dx * _chunk(affine[ch][0], c)
+                ) * wxd
+                p1 = (dx * _chunk(affine[ch][1], c)) * wx
+                p2 = (dx * _chunk(affine[ch][2], c)) * wx
+                rows.append(
+                    jnp.concatenate(
+                        [p0.astype(dtype), p1.astype(dtype), p2.astype(dtype)],
+                        axis=1,
+                    )
+                )
+            rows.append(jnp.concatenate([wx * p_mass, zero, zero], axis=1))
+            blocks.append(jnp.concatenate(rows, axis=0))  # (4rx, 3PC)
+        lhs = jnp.concatenate(blocks, axis=1) if NC > 1 else blocks[0]
+        G = _mm(lhs, rhs)  # (4rx, ryrz) f32 accumulation
+        return tuple(G[ch * rx : (ch + 1) * rx] for ch in range(3)), G[3 * rx :]
 
-    def _g2p(bases, g):
+    def _g2p(bases, rhs, g):
         """Adjoint contractions: returns new_v (3-tuple of (NC, PC)) and
         new_C (m3 nested tuple of (NC, PC))."""
+        GG = jnp.concatenate([g[0], g[1], g[2]], axis=0)  # (3rx, ryrz)
+        M_all = _mm_t(GG, rhs)  # (3rx, NC*3PC) f32
         nv = [[] for _ in range(3)]
         nC = [[[] for _ in range(3)] for _ in range(3)]
         for c in range(NC):
-            wx, wxd, byc, byc_yd, byc_zd = bases[c]
+            wx, wxd = bases[c][0], bases[c][1]
+            base = c * 3 * PC
             for ch in range(3):
-                M = _mm_t(g[ch], byc)  # (rx, PC)
+                rows = M_all[ch * rx : (ch + 1) * rx]
+                M = rows[:, base : base + PC]
                 nv[ch].append(jnp.sum(wx * M, axis=0, keepdims=True))
                 nC[ch][0].append(
                     4.0 * inv_dx * jnp.sum(wxd * M, axis=0, keepdims=True)
                 )
-                M_yd = _mm_t(g[ch], byc_yd)
+                M_yd = rows[:, base + PC : base + 2 * PC]
                 nC[ch][1].append(
                     4.0 * inv_dx * jnp.sum(wx * M_yd, axis=0, keepdims=True)
                 )
-                M_zd = _mm_t(g[ch], byc_zd)
+                M_zd = rows[:, base + 2 * PC : base + 3 * PC]
                 nC[ch][2].append(
                     4.0 * inv_dx * jnp.sum(wx * M_zd, axis=0, keepdims=True)
                 )
@@ -418,7 +448,8 @@ def build_mpm_step_kernel(sim, interpret=False, dtype=jnp.float32):
 
             # --- P2G ---
             bases = [_bases(x, valid, c) for c in range(NC)]
-            g, gm = _p2g(bases, v, affine)
+            rhs = _stack_rhs(bases)
+            g, gm = _p2g(bases, rhs, v, affine)
             g = tuple(gc.astype(dtype) for gc in g)
             gm = gm.astype(dtype)
 
@@ -529,7 +560,7 @@ def build_mpm_step_kernel(sim, interpret=False, dtype=jnp.float32):
             )
 
             # --- G2P + advect ---
-            new_v, new_C = _g2p(bases, g)
+            new_v, new_C = _g2p(bases, rhs, g)
             new_x = tuple(x[i] + dt * new_v[i] for i in range(3))
             new_J = J * (1.0 + dt * (new_C[0][0] + new_C[1][1] + new_C[2][2]))
             return (new_x, new_v, new_C, Fn, new_J, tuple(new_prims))
