@@ -314,3 +314,32 @@ def test_24k_particles_forward_parity():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_pc64_wide_plane_parity():
+    """ryrz > 4096 selects the PC=64 chunk width (the backward kernel's
+    VMEM fix for pour_soup-scale planes, mpm_big_kernel._pc) — forward +
+    action-grad parity vs the oracle on the halved-chunk layout."""
+    from unidom_tpu.ops.pallas.mpm_big_kernel import _pc
+
+    res = (16, 72, 64)
+    assert _pc(res) == 64
+    sim_x, sim_b, state = build_pair(res=res, steps=2)
+    action = _action()
+    ref, _ = sim_x.step_batch(state, action)
+    out, _ = sim_b.step_batch(state, action)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(fn):
+        def f(a):
+            s, _ = fn(state, a)
+            return jnp.sum(s.x * jnp.sin(jnp.arange(s.x.size, dtype=jnp.float32)
+                                         .reshape(s.x.shape)))
+        return jax.grad(f)(action)
+
+    go, gp = loss(sim_x.step_batch), loss(sim_b.step_batch)
+    cos = float(jnp.sum(go * gp)
+                / (jnp.linalg.norm(go) * jnp.linalg.norm(gp) + 1e-12))
+    assert cos > 0.999, (cos, float(jnp.linalg.norm(go)),
+                         float(jnp.linalg.norm(gp)))

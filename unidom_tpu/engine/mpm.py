@@ -288,13 +288,42 @@ class MPMSimulator:
 
         if not small_ok:
             # Big-grid configs: one kernel call's checkpoint history is
-            # (B, N_CKPT, 25, NC, 128) — ~150 MB at shape_elasto B=16. The
+            # (B, N_CKPT, 25, NC, PC) — ~150 MB at shape_elasto B=16. The
             # env scans ~20 calls per macro action and BPTT stacks every
             # macro step, which put 8.8 GB of hist residuals in HBM
             # (runs/r4/bench_shape_elasto.log). Remat the whole macro call:
             # residuals become just the input state; the backward replays
             # the forward kernel once per call (~+fwd/bwd time, ~25%).
-            step_batch = jax.checkpoint(step_batch)
+            #
+            # The saved state crosses the remat boundary FLATTENED to
+            # (B, -1) per field: stacked (B, P, 3, 3) C/F residuals get a
+            # T(4,128) tiling that pads 9 elements to 512 — 57x, 14.6 GB
+            # per field at shape_elasto B=16 (second bench_shape_elasto
+            # OOM dump). Flat (B, 25P) rows pad by <1%.
+            P3, P33 = (self.n_particles, 3), (self.n_particles, 3, 3)
+
+            def _flat(s):
+                B = s.x.shape[0]
+                return s._replace(
+                    x=s.x.reshape(B, -1), v=s.v.reshape(B, -1),
+                    C=s.C.reshape(B, -1), F=s.F.reshape(B, -1))
+
+            def _unflat(s):
+                B = s.x.shape[0]
+                return s._replace(
+                    x=s.x.reshape(B, *P3), v=s.v.reshape(B, *P3),
+                    C=s.C.reshape(B, *P33), F=s.F.reshape(B, *P33))
+
+            inner_step = step_batch
+
+            @jax.checkpoint
+            def _flat_step(fs, action):
+                o1, o2 = inner_step(_unflat(fs), action)
+                return _flat(o1), _flat(o2)
+
+            def step_batch(state, action):
+                o1, o2 = _flat_step(_flat(state), action)
+                return _unflat(o1), _unflat(o2)
         self.step_batch = step_batch
         self.backend = "pallas" if small_ok else "pallas_big"
 

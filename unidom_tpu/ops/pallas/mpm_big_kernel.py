@@ -65,7 +65,17 @@ from unidom_tpu.ops.pallas.mpm_kernel import (
     _w2quat,
 )
 
-PC = 128  # particle chunk width (lane dim)
+PC = 128  # particle chunk width (lane dim); halved for >4096-lane planes
+
+
+def _pc(res):
+    """Chunk width: the chunk-vjp residual planes in the backward kernel are
+    (PC, ry*rz) — at pour_soup's 8192-lane planes, PC=128 basis residuals
+    are 4 MB each and the kernel's VMEM demand was 142 MB of the physical
+    128 (runs/r4/bench_pour_soup.log). PC=64 halves every per-chunk plane;
+    the particle-block VPU cost (stage-1 stress/SVD) is negligible next to
+    the 1M-cell grid work."""
+    return 64 if res[1] * res[2] > 4096 else 128
 
 # one resident history block budget (fwd checkpoint block and per-segment
 # recompute block each stage through VMEM as whole output blocks)
@@ -75,12 +85,12 @@ _HIST_BUDGET = 16 * 2**20
 _GRID_BUDGET = 56 * 2**20
 
 
-def _nc(n_particles):
-    return -(-n_particles // PC)
+def _nc(n_particles, pc=PC):
+    return -(-n_particles // pc)
 
 
-def _ckpt_stride(steps, nc):
-    blk = N_COMP * nc * PC * 4
+def _ckpt_stride(steps, nc, pc=PC):
+    blk = N_COMP * nc * pc * 4
     max_entries = max(_HIST_BUDGET // blk, 1)
     if steps <= max_entries:
         return 1
@@ -110,9 +120,10 @@ def mpm_big_kernel_supported(sim):
         return False
     if sim.n_particles > 128 * 1024:
         return False
-    nc = _nc(sim.n_particles)
-    blk = N_COMP * nc * PC * 4
-    k = _ckpt_stride(conf.steps, nc)
+    pc = _pc(conf.res)
+    nc = _nc(sim.n_particles, pc)
+    blk = N_COMP * nc * pc * 4
+    k = _ckpt_stride(conf.steps, nc, pc)
     if k * blk > _HIST_BUDGET or -(-conf.steps // k) * blk > _HIST_BUDGET:
         return False
     return True
@@ -135,7 +146,8 @@ def build_mpm_big_step_kernel(sim, interpret=False):
     sdfs = [_SOA_SDFS[name] for name in sim.sdf_names]
 
     P = sim.n_particles
-    NC = _nc(P)
+    PC = _pc(conf.res)  # shadows the module default inside this build
+    NC = _nc(P, PC)
     PPAD = NC * PC
     WX = _window(conf.res)
     # static grid-op slab split (last slab may be shorter). Slab planes are
@@ -144,7 +156,7 @@ def build_mpm_big_step_kernel(sim, interpret=False):
     SX = min(rx, 16 if ryrz <= 4096 else 8)
     slab_rows = [(s, min(SX, rx - s)) for s in range(0, rx, SX)]
 
-    CKPT_K = _ckpt_stride(steps, NC)
+    CKPT_K = _ckpt_stride(steps, NC, PC)
     N_CKPT = -(-steps // CKPT_K)
 
     mat = np.asarray(sim.material)
@@ -840,7 +852,7 @@ def build_mpm_big_step_kernel(sim, interpret=False):
 
     # ---------------- pallas_call plumbing ---------------- #
 
-    _params = pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20)
+    _params = pltpu.CompilerParams(vmem_limit_bytes=126 * 2**20)
 
     def _spec(shape):
         n = len(shape)
