@@ -18,9 +18,11 @@ reference's recorded particle clouds: that pins the full contract chain
 friction, grippers) to the reference numerically, not just structurally.
 """
 
+import dataclasses
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -198,9 +200,14 @@ def test_whip_rope_obs_contract_vs_reference():
     fix = np.load(fix_path)
     steps = int(fix["steps"])
 
-    from unidom_tpu.envs.mpm_tasks import WhipRopeEnv
+    from unidom_tpu.envs.mpm_tasks import WhipRopeConf, WhipRopeEnv
 
-    env = WhipRopeEnv(batch_size=2, seed=1)
+    # the fixture may be recorded at a reduced substep count (the mapping
+    # rule it pins is steps-independent; recording the reference at
+    # steps=70 wedges its host-side trace — scripts/record_whip_rope_obs.py)
+    conf = (None if steps == WhipRopeConf.steps
+            else dataclasses.replace(WhipRopeConf, steps=steps))
+    env = WhipRopeEnv(batch_size=2, seed=1, conf=conf)
     _, state = env.reset(jax.random.PRNGKey(1))
     P = env.simulator.n_particles
     assert env.observation_size == P * 6 + (steps + 1) * 3  # 615 for P=67
