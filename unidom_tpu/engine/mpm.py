@@ -295,21 +295,22 @@ class MPMSimulator:
             # residuals become just the input state; the backward replays
             # the forward kernel once per call (~+fwd/bwd time, ~25%).
             #
-            # The saved state crosses the remat boundary FLATTENED to
-            # (B, -1) per field: stacked (B, P, 3, 3) C/F residuals get a
-            # T(4,128) tiling that pads 9 elements to 512 — 57x, 14.6 GB
-            # per field at shape_elasto B=16 (second bench_shape_elasto
-            # OOM dump). Flat (B, 25P) rows pad by <1%.
+            # The saved state crosses the remat boundary FLATTENED to 1-D
+            # per field: stacked (B, P, 3, 3) C/F residuals get a T(4,128)
+            # tiling that pads 9 elements to 512 (57x = 2 x 14.6 GB at
+            # shape_elasto B=16), and even (B, 25P) rows got an XLA layout
+            # with B minor — 16 -> 128 lanes, 8x (both recorded in
+            # bench_shape_elasto.log dumps). A 1-D buffer has one layout
+            # and pads <0.1%.
             P3, P33 = (self.n_particles, 3), (self.n_particles, 3, 3)
 
             def _flat(s):
-                B = s.x.shape[0]
                 return s._replace(
-                    x=s.x.reshape(B, -1), v=s.v.reshape(B, -1),
-                    C=s.C.reshape(B, -1), F=s.F.reshape(B, -1))
+                    x=s.x.reshape(-1), v=s.v.reshape(-1),
+                    C=s.C.reshape(-1), F=s.F.reshape(-1))
 
             def _unflat(s):
-                B = s.x.shape[0]
+                B = s.key.shape[0]
                 return s._replace(
                     x=s.x.reshape(B, *P3), v=s.v.reshape(B, *P3),
                     C=s.C.reshape(B, *P33), F=s.F.reshape(B, *P33))

@@ -334,7 +334,12 @@ def build_mpm_step_kernel(sim, interpret=False, dtype=jnp.float32):
     def _g2p(bases, rhs, g):
         """Adjoint contractions: returns new_v (3-tuple of (NC, PC)) and
         new_C (m3 nested tuple of (NC, PC))."""
-        GG = jnp.concatenate([g[0], g[1], g[2]], axis=0)  # (3rx, ryrz)
+        # grid-op scalar products may have promoted g to f32 in bf16 mode
+        # (f32 scalars, see _s) — harmonize with the rhs operand dtype
+        GG = jnp.concatenate(
+            [g[0].astype(dtype), g[1].astype(dtype), g[2].astype(dtype)],
+            axis=0,
+        )  # (3rx, ryrz)
         M_all = _mm_t(GG, rhs)  # (3rx, NC*3PC) f32
         nv = [[] for _ in range(3)]
         nC = [[[] for _ in range(3)] for _ in range(3)]
@@ -477,8 +482,13 @@ def build_mpm_step_kernel(sim, interpret=False, dtype=jnp.float32):
             # (1, 1)-shaped per-env values broadcast against (rx, ryrz)
             # planes must be rank-0 scalars — Mosaic has no combined
             # sublane+lane broadcast for vectors, but scalars are fine.
+            # Scalars stay f32 even in bf16 mode: Mosaic scalar registers
+            # are 32-bit and real-TPU compile rejects rank-0 bf16
+            # ("Only arrays with 32-bit element types can be converted to
+            # scalars", runs/r4/bench_bf16_mpm.log); scalar-plane products
+            # promote locally and planes are cast back where it matters.
             def _s(a):
-                return a[0, 0].astype(dtype)
+                return a[0, 0]
 
             for ip in range(n_prim):
                 p_cur = tuple(_s(c) for c in prims[ip][0])
@@ -531,7 +541,7 @@ def build_mpm_step_kernel(sim, interpret=False, dtype=jnp.float32):
             # ground friction, bottom 3 layers (mpm_simulator.py:296-307)
             gidx = (xi.astype(dtype), yi.astype(dtype),
                     zi.astype(dtype))
-            gf_s = gf[0, 0].astype(dtype)
+            gf_s = gf[0, 0]  # f32 scalar (see _s)
             lin = g[1] + 1e-30
             vit = (g[0] - gidx[0] * 1e-30,
                    g[1] - lin - gidx[1] * 1e-30,
