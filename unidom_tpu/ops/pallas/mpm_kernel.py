@@ -62,11 +62,14 @@ TRAJ_COLS = 16  # pos3 rot4 (padded)
 
 
 def _spline(t):
-    """Quadratic B-spline weight, matching engine/mpm.py _axis_basis."""
+    """Quadratic B-spline weight, matching engine/mpm.py _axis_basis.
+    Comparisons run in f32: Mosaic has no cmpf lowering for packed bf16
+    vectors (runs/r4/bench_bf16_mpm.log, arith.cmpf on 8x128x2xbf16)."""
     at = jnp.abs(t)
+    atc = at if at.dtype == jnp.float32 else at.astype(jnp.float32)
     return jnp.where(
-        at < 0.5, 0.75 - t * t,
-        jnp.where(at < 1.5, 0.5 * (1.5 - at) ** 2, 0.0),
+        atc < 0.5, 0.75 - t * t,
+        jnp.where(atc < 1.5, 0.5 * (1.5 - at) ** 2, 0.0),
     )
 
 
@@ -456,6 +459,8 @@ def build_mpm_step_kernel(sim, interpret=False, dtype=jnp.float32):
             rhs = _stack_rhs(bases)
             g, gm = _p2g(bases, rhs, v, affine)
             g = tuple(gc.astype(dtype) for gc in g)
+            # mass mask compares on the f32 matmul output (no bf16 cmpf)
+            mass_mask = gm > 1e-10
             gm = gm.astype(dtype)
 
             # --- primitive FK (engine/primitives.py forward_kinematics) ---
@@ -470,7 +475,6 @@ def build_mpm_step_kernel(sim, interpret=False, dtype=jnp.float32):
                 new_prims.append((p_next, q_next))
 
             # --- grid ops ---
-            mass_mask = gm > 1e-10
             safe_m = jnp.where(mass_mask, gm, 1.0)
             g = tuple(jnp.where(mass_mask, g[i] / safe_m, g[i]) for i in range(3))
             g = tuple(g[i] + dt * grav[i] for i in range(3))
