@@ -36,6 +36,8 @@ sys.path.insert(0, _here)
 import reference_baseline_run as shim  # noqa: E402  (module-level stubs + imports)
 import jax.numpy as jnp  # noqa: E402
 
+shim.apply_mpm_patches()  # whip_rope is an MPM env (render no-op, float0 fixes)
+
 
 def main():
     conf = None

@@ -144,6 +144,71 @@ from unidom_tpu.models.distribution import NormalTanhDistribution  # noqa: E402
 from unidom_tpu.models.mlp import make_policy_model  # noqa: E402
 
 
+def apply_mpm_patches():
+    """Shim patches any direct user of an MPM ENVS entry needs (main()
+    applies them too): no-op the render-mesh path that feeds np.random a
+    stubbed trimesh shape, float-ify PrimitiveState int leaves, and make
+    tree_map/global_norm float0-tolerant (see inline comments)."""
+    # MPMEnv.create_mesh_for_render feeds np.random.uniform a stubbed
+    # trimesh shape (render-only path) — no-op it
+    import daxbench.core.envs.basic.mpm_env as _mpm_mod
+
+    _mpm_mod.MPMEnv.create_mesh_for_render = lambda self, size: None
+
+    # PrimitiveState carries int leaves (dim=[3], min_dist=0,
+    # dist_norm=0, primitives.py:32-55); modern jax hands their
+    # cotangents to the reference's substep surrogate as float0 and the
+    # tree_map multiply (mpm_simulator.py:353-355) raises. Same class
+    # of issue as the int cloth stiffness: float dtypes restore the
+    # original behavior without touching the math.
+    _orig_cp = _mpm_mod.create_primitive
+
+    def _float_cp(conf, friction, softness, color, size, init_pos):
+        ps = _orig_cp(conf, friction=friction, softness=softness,
+                      color=color, size=size, init_pos=init_pos)
+        return jax.tree_util.tree_map(
+            lambda l: l.astype(jnp.float32)
+            if not jnp.issubdtype(l.dtype, jnp.floating) else l,
+            ps,
+        )
+
+    _mpm_mod.create_primitive = _float_cp
+
+    # The reference's gradient-stabilization custom-vjps tree_map
+    # `nan_to_num(t + 0.0)` / `where(trigger, t, t/g_norm)` over whole
+    # MPMState cotangents (mpm_simulator.py:390-394), which on modern
+    # jax contain float0 leaves for the int state members (cur_step,
+    # key). float0 IS the symbolic zero cotangent — passing it through
+    # unchanged is exactly what the old zeros-array behavior computed.
+    # Patch tree_map (process-wide, shim only) and optax.global_norm to
+    # skip float0 leaves.
+    from jax.dtypes import float0 as _f0
+
+    _orig_tree_map = jax.tree_util.tree_map
+
+    def _f0_safe_tree_map(f, tree, *rest, **kw):
+        def safe_f(x, *r):
+            if hasattr(x, "dtype") and x.dtype == _f0:
+                return x
+            return f(x, *r)
+
+        return _orig_tree_map(safe_f, tree, *rest, **kw)
+
+    jax.tree_util.tree_map = _f0_safe_tree_map
+    jax.tree_map = _f0_safe_tree_map
+
+    _orig_gn = optax.global_norm
+
+    def _f0_safe_global_norm(updates):
+        leaves = [
+            x for x in jax.tree_util.tree_leaves(updates)
+            if not (hasattr(x, "dtype") and x.dtype == _f0)
+        ]
+        return _orig_gn(leaves)
+
+    optax.global_norm = _f0_safe_global_norm
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env", default="fold_cloth1", choices=sorted(ENVS))
@@ -166,64 +231,7 @@ def main():
     # the levels as memory knobs only.
     is_mpm = args.env in MPM_ENVS
     if is_mpm:
-        # MPMEnv.create_mesh_for_render feeds np.random.uniform a stubbed
-        # trimesh shape and never returns (render-only path) — no-op it
-        import daxbench.core.envs.basic.mpm_env as _mpm_mod
-
-        _mpm_mod.MPMEnv.create_mesh_for_render = lambda self, size: None
-
-        # PrimitiveState carries int leaves (dim=[3], min_dist=0,
-        # dist_norm=0, primitives.py:32-55); modern jax hands their
-        # cotangents to the reference's substep surrogate as float0 and the
-        # tree_map multiply (mpm_simulator.py:353-355) raises. Same class
-        # of issue as the int cloth stiffness: float dtypes restore the
-        # original behavior without touching the math.
-        _orig_cp = _mpm_mod.create_primitive
-
-        def _float_cp(conf, friction, softness, color, size, init_pos):
-            ps = _orig_cp(conf, friction=friction, softness=softness,
-                          color=color, size=size, init_pos=init_pos)
-            return jax.tree_util.tree_map(
-                lambda l: l.astype(jnp.float32)
-                if not jnp.issubdtype(l.dtype, jnp.floating) else l,
-                ps,
-            )
-
-        _mpm_mod.create_primitive = _float_cp
-
-        # The reference's gradient-stabilization custom-vjps tree_map
-        # `nan_to_num(t + 0.0)` / `where(trigger, t, t/g_norm)` over whole
-        # MPMState cotangents (mpm_simulator.py:390-394), which on modern
-        # jax contain float0 leaves for the int state members (cur_step,
-        # key). float0 IS the symbolic zero cotangent — passing it through
-        # unchanged is exactly what the old zeros-array behavior computed.
-        # Patch tree_map (process-wide, shim only) and optax.global_norm to
-        # skip float0 leaves.
-        from jax.dtypes import float0 as _f0
-
-        _orig_tree_map = jax.tree_util.tree_map
-
-        def _f0_safe_tree_map(f, tree, *rest, **kw):
-            def safe_f(x, *r):
-                if hasattr(x, "dtype") and x.dtype == _f0:
-                    return x
-                return f(x, *r)
-
-            return _orig_tree_map(safe_f, tree, *rest, **kw)
-
-        jax.tree_util.tree_map = _f0_safe_tree_map
-        jax.tree_map = _f0_safe_tree_map
-
-        _orig_gn = optax.global_norm
-
-        def _f0_safe_global_norm(updates):
-            leaves = [
-                x for x in jax.tree_util.tree_leaves(updates)
-                if not (hasattr(x, "dtype") and x.dtype == _f0)
-            ]
-            return _orig_gn(leaves)
-
-        optax.global_norm = _f0_safe_global_norm
+        apply_mpm_patches()
     if not is_mpm:
         # The reference's conf.stiffness is the Python int 900, so
         # state.stiffness traces as int32; on modern jax its cotangent is

@@ -263,6 +263,17 @@ class MPMSimulator:
         if want == "auto" and not on_tpu:
             return
         kdtype = jnp.bfloat16 if self.conf.kernel_dtype == "bf16" else jnp.float32
+        if kdtype == jnp.bfloat16 and on_tpu:
+            # Interpret-validated only: the real-TPU Mosaic compile still
+            # fails on a packed-bf16 cmpf site (runs/r4/bench_bf16_mpm.log,
+            # predicate=3 on 8x128x2xbf16). Refuse rather than crash at
+            # first compile; numerics remain pinned by
+            # tests/test_kernel_dtype.py on the CPU interpreter.
+            raise NotImplementedError(
+                "kernel_dtype='bf16' does not yet compile on real TPU "
+                "(Mosaic packed-bf16 cmpf; see runs/r4/bench_bf16_mpm.log). "
+                "Use kernel_dtype='f32', or run on CPU interpret mode."
+            )
         if small_ok:
             kernel_step = build_mpm_step_kernel(
                 self, interpret=(not on_tpu), dtype=kdtype
