@@ -8,8 +8,30 @@ actions, and a target density grid scored by the sdf/density/contact loss
 (plb/engine/losses/loss.py). Episode bookkeeping (reward = loss decrease,
 incremental IoU) follows plb exactly via engine/losses.LossTracker.
 
+All TEN registered families are covered (plb/envs/__init__.py:5-13:
+Move, Torus, Rope, Writer, Pinch, Rollingpin, Chopsticks, Table,
+TripleMove, Assembly). The reference repo itself ships scene .yml files
+for only four of them (move/rope/table/torus; writer.yml exists in the
+PlasticineLab/sim2sim fork) — the remaining scenes are reconstructed here
+from what the reference DOES encode: the primitive classes and their
+action dims/FK (plb/engine/primitive/primitives.py:17-280 — RollingPin 3
+dof roll/yaw/descend :83-100, Chopsticks 7 dof with gap :102-174), the
+scripted expert schedules (plb/optimizer/solver.py:150-345), and
+writer.yml's shipped geometry. Deliberate deltas, documented:
+
+- Rolling-pin/chopsticks body-frame kinematics are expressed through the
+  engine's generic world-frame (v, w) substep buffers: the body-frame
+  roll/yaw composition is converted to an equivalent world axis at macro-
+  step start (exact to first order in the per-substep angle; plb splits a
+  macro action over 40 substeps, so per-substep angles are <= 2.5e-3 rad).
+- The chopsticks gap is primitive ``size[2]`` (a traced state field) and
+  updates once per macro step with the full summed gap velocity (the
+  reference updates per substep; both hit the same clamped endpoint, the
+  difference is only the intra-step SDF path while the gap moves).
+
 Targets are synthesized per variant (the reference ships .npy asset grids):
-variant v translates the initial body by a deterministic per-variant offset.
+variant v translates the initial body by a deterministic per-variant offset
+(per-shape offsets for Assembly, a y-flatten for Rollingpin).
 """
 
 from dataclasses import replace
@@ -60,6 +82,69 @@ PLB_SCENES = {
         ],
         target_shift=(0.0, -0.2, 0.0),
     ),
+    # ---- round-5 additions: the six remaining registered families ---- #
+    "plb_writer": dict(
+        # writer.yml (PlasticineLab/sim2sim/plb/envs/writer.yml): box
+        # (0.3, 0.1, 0.3) @ (0.5, 0.05, 0.5), capsule pen h=0.06 r=0.03 @
+        # (0.5, 0.13, 0.5), 3-dof action scale 0.01, friction 0
+        shapes=[dict(width=(0.3, 0.1, 0.3), init_pos=(0.5, 0.05, 0.5), n=2000)],
+        primitives=[dict(shape="capsule", size=(0.03, 0.03, 0.0),
+                         init_pos=(0.5, 0.13, 0.5), scale=0.01, friction=0.0)],
+        target_shift=(0.05, 0.0, 0.05),
+    ),
+    "plb_pinch": dict(
+        # solver.py:245-270 Pinch expert: small +x pushes of a sphere into
+        # the body's side, then release
+        shapes=[dict(width=(0.2, 0.2, 0.2), init_pos=(0.5, 0.1, 0.5), n=2000)],
+        primitives=[dict(radius=0.03, init_pos=(0.36, 0.12, 0.5), scale=0.01)],
+        target_shift=(0.03, 0.0, 0.0),
+    ),
+    "plb_rollingpin": dict(
+        # RollingPin (primitives.py:83-100): horizontal capsule, 3-dof
+        # (roll dw, world-yaw dth, descend dy); flatten the slab
+        shapes=[dict(width=(0.3, 0.12, 0.3), init_pos=(0.5, 0.06, 0.5), n=2000)],
+        primitives=[dict(shape="rolling_pin", kind="rollingpin",
+                         size=(0.03, 0.15, 0.0), init_pos=(0.5, 0.16, 0.5),
+                         scale=(0.6, 0.06, 0.012), friction=0.9)],
+        target_flatten=0.7,
+        target_shift=(0.0, 0.0, 0.0),
+    ),
+    "plb_chopsticks": dict(
+        # Chopsticks (primitives.py:102-174): two vertical capsules, 7-dof
+        # (3 v, 3 w, gap); grasp the rope and carry it
+        shapes=[dict(width=(0.06, 0.06, 0.3), init_pos=(0.5, 0.03, 0.5), n=1500)],
+        primitives=[dict(shape="chopsticks", kind="chopsticks",
+                         size=(0.015, 0.06, 0.06), init_pos=(0.5, 0.12, 0.5),
+                         scale=(0.012, 0.012, 0.012, 0.06, 0.06, 0.06, 0.012),
+                         friction=0.9)],
+        target_shift=(0.08, 0.0, 0.04),
+    ),
+    "plb_triplemove": dict(
+        # TripleMove: three bodies, three sphere manipulators (9 dof)
+        shapes=[
+            dict(width=(0.1, 0.08, 0.1), init_pos=(0.3, 0.04, 0.5), n=700),
+            dict(width=(0.1, 0.08, 0.1), init_pos=(0.5, 0.04, 0.5), n=700),
+            dict(width=(0.1, 0.08, 0.1), init_pos=(0.7, 0.04, 0.5), n=700),
+        ],
+        primitives=[
+            dict(radius=0.03, init_pos=(0.3, 0.05, 0.34), scale=0.005),
+            dict(radius=0.03, init_pos=(0.5, 0.05, 0.34), scale=0.005),
+            dict(radius=0.03, init_pos=(0.7, 0.05, 0.34), scale=0.005),
+        ],
+        target_shift=(0.0, 0.0, 0.1),
+    ),
+    "plb_assembly": dict(
+        # Assembly: place the soft ball on top of the pedestal (per-shape
+        # target offsets)
+        shapes=[
+            dict(kind="sphere", radius=0.05, init_pos=(0.3, 0.06, 0.5), n=1200,
+                 target_shift=(0.35, 0.1, 0.0)),
+            dict(width=(0.12, 0.1, 0.12), init_pos=(0.65, 0.05, 0.5), n=800,
+                 target_shift=(0.0, 0.0, 0.0)),
+        ],
+        primitives=[dict(radius=0.03, init_pos=(0.3, 0.17, 0.5), scale=0.01)],
+        target_shift=(0.0, 0.0, 0.0),
+    ),
 }
 
 
@@ -73,6 +158,10 @@ class PlbSceneEnv(MPMEnv):
     action_squash = None
     reset_mode = "host_reset"
 
+    #: per-kind macro-action dof (primitives.py: Primitive.action_dim 3,
+    #: RollingPin 3, Chopsticks 7)
+    KIND_DIMS = {"v3": 3, "rollingpin": 3, "chopsticks": 7}
+
     def __init__(self, scene_name, batch_size, seed=1, max_steps=50, conf=None,
                  variant=1, aux_reward=False, **kw):
         self.scene = PLB_SCENES[scene_name]
@@ -84,14 +173,22 @@ class PlbSceneEnv(MPMEnv):
         )
         super().__init__(conf, batch_size, max_steps, seed,
                          focus_computation=False, use_position_control=False)
-        self.action_size = 3 * len(self.scene["primitives"])
+        self.prim_kinds = [p.get("kind", "v3") for p in self.scene["primitives"]]
+        self.action_size = sum(self.KIND_DIMS[k] for k in self.prim_kinds)
         self.target_loss = None  # built at reset
 
     # ---------------- scene building ---------------- #
 
     def _sample_shape(self, spec, rng):
-        w = np.asarray(spec["width"]) * 0.5
-        pts = rng.uniform(-1, 1, (spec["n"], 3)) * w + np.asarray(spec["init_pos"])
+        if spec.get("kind") == "sphere":
+            # uniform ball (shape_maker.py:48-80 sphere sampler capability)
+            u = rng.normal(size=(spec["n"], 3))
+            u /= np.linalg.norm(u, axis=1, keepdims=True) + 1e-12
+            r = spec["radius"] * rng.uniform(0, 1, (spec["n"], 1)) ** (1 / 3)
+            pts = u * r + np.asarray(spec["init_pos"])
+        else:
+            w = np.asarray(spec["width"]) * 0.5
+            pts = rng.uniform(-1, 1, (spec["n"], 3)) * w + np.asarray(spec["init_pos"])
         return pts.astype(np.float32)
 
     def reset(self, key):
@@ -106,18 +203,30 @@ class PlbSceneEnv(MPMEnv):
             state = self.simulator.add_points(state, pts, hardness=1.0,
                                               material=VON_MISES)
         for p in self.scene["primitives"]:
+            size = list(p["size"]) if "size" in p else [p["radius"], 0.0, 0.0]
             state = self.create_primitive(
                 state, friction=p.get("friction", 0.9), color=[0.7, 0.7, 0.7],
-                size=[p["radius"], 0.0, 0.0], init_pos=p["init_pos"],
-                softness=666.0, sdf_name="sphere",
+                size=size, init_pos=p["init_pos"],
+                softness=666.0, sdf_name=p.get("shape", "sphere"),
             )
         self.initialize_after_adding_particle_primitives(state)
 
-        # per-variant synthesized target grid (reference asset .npy stand-in)
-        shift = np.asarray(self.scene["target_shift"]) * (
-            1.0 + 0.1 * (self.variant - 1)
-        )
-        target_pts = np.concatenate(all_pts) + shift
+        # per-variant synthesized target grid (reference asset .npy stand-in):
+        # per-shape shifts (Assembly) over a scene-level shift, optional
+        # y-flatten toward the ground plane (Rollingpin)
+        vscale = 1.0 + 0.1 * (self.variant - 1)
+        shifted = []
+        for spec, pts in zip(self.scene["shapes"], all_pts):
+            shift = np.asarray(
+                spec.get("target_shift", self.scene["target_shift"]),
+                np.float32,
+            )
+            shifted.append(pts + shift * vscale)
+        target_pts = np.concatenate(shifted)
+        flatten = self.scene.get("target_flatten")
+        if flatten is not None:
+            y0 = target_pts[:, 1].min()
+            target_pts[:, 1] = y0 + (target_pts[:, 1] - y0) * flatten
         self.target_loss = TargetLoss.from_particles(
             jnp.asarray(np.clip(target_pts, 0.01, 0.99)),
             self.conf.res, self.conf.inv_dx,
@@ -134,19 +243,53 @@ class PlbSceneEnv(MPMEnv):
     # ---------------- actions / reward ---------------- #
 
     def get_primitive_actions(self, actions, state):
-        scales = jnp.concatenate(
-            [jnp.full((3,), p["scale"]) for p in self.scene["primitives"]]
-        )
+        from unidom_tpu.ops.quat import qrot
+
+        specs = self.scene["primitives"]
 
         def one(a, s):
-            a = a * scales
-            full = jnp.concatenate(
-                [
-                    jnp.concatenate([a[i * 3 : (i + 1) * 3], jnp.zeros(3)])
-                    for i in range(len(self.scene["primitives"]))
-                ]
-            )
-            return full[None, :], s
+            rows = []
+            new_prims = list(s.primitives)
+            off = 0
+            for i, (spec, kind) in enumerate(zip(specs, self.prim_kinds)):
+                scale = np.broadcast_to(
+                    np.asarray(spec["scale"], np.float32),
+                    (self.KIND_DIMS[kind],),
+                )
+                ai = a[off : off + self.KIND_DIMS[kind]] * jnp.asarray(scale)
+                off += self.KIND_DIMS[kind]
+                if kind == "v3":
+                    rows.append(jnp.concatenate([ai, jnp.zeros(3)]))
+                elif kind == "rollingpin":
+                    # RollingPin FK (primitives.py:86-100): dw rolls about
+                    # the pin's symmetry axis (our local +x — the SDF is an
+                    # x-capsule), dth yaws about world y, dy descends. The
+                    # body-frame roll is expressed as its world-equivalent
+                    # axis at macro-step start (exact to first order in the
+                    # per-substep angle).
+                    dw, dth, dy = ai[0], ai[1], ai[2]
+                    q = new_prims[i].rotation[0]
+                    axis_dir = qrot(q, jnp.array([-1.0, 0.0, 0.0]))
+                    roll_dir = jnp.cross(jnp.array([0.0, 1.0, 0.0]), axis_dir)
+                    v = (roll_dir * dw * 0.03).at[1].set(dy)
+                    w = (
+                        jnp.array([0.0, -1.0, 0.0]) * dth
+                        + qrot(q, jnp.array([1.0, 0.0, 0.0])) * dw
+                    )
+                    rows.append(jnp.concatenate([v, w]))
+                else:  # chopsticks: 3 v, 3 w, 1 gap velocity
+                    v, w, gap_vel = ai[:3], ai[3:6], ai[6]
+                    pr = new_prims[i]
+                    # gap = 2 * size[2]; clamp at minimal_gap 0.06
+                    # (primitives.py:114-116,170); updated once per macro
+                    # step with the summed gap velocity
+                    half_gap = jnp.maximum(pr.size[2] - gap_vel * 0.5, 0.03)
+                    new_prims[i] = pr._replace(
+                        size=pr.size.at[2].set(half_gap)
+                    )
+                    rows.append(jnp.concatenate([v, w]))
+            full = jnp.concatenate(rows)
+            return full[None, :], s._replace(primitives=tuple(new_prims))
 
         return jax.vmap(one)(actions, state)
 
