@@ -61,6 +61,15 @@ def main():
     jax.block_until_ready(metrics)
     compile_s = time.time() - t0
 
+    # second warmup: the first minimize's outputs come back with shard_map
+    # output shardings/layouts, which re-specializes the jit — a SECOND
+    # ~full compile that must not land in the timed window (recorded in
+    # runs/r5: pour_soup iter1 105 s vs steady-state 1.87 s)
+    t0 = time.time()
+    ts, metrics = minimize(ts, state)
+    jax.block_until_ready(metrics)
+    compile2_s = time.time() - t0
+
     t0 = time.time()
     for _ in range(iters):
         ts, metrics = minimize(ts, state)
@@ -79,6 +88,7 @@ def main():
         "backend": backend or "auto",
         "iter_walltime_s": round(dt, 3),
         "compile_s": round(compile_s, 1),
+        "compile2_s": round(compile2_s, 1),
     }))
 
 

@@ -133,10 +133,11 @@ def test_forward_water_and_von_mises():
 
 def test_multi_chunk_and_windowed():
     """P > 128 (multiple chunks) and rx > WX (windows genuinely dynamic):
-    res (48, 8, 16) makes _window return 24 < rx."""
+    res (64, 8, 16) makes _window return 24 < rx (rx <= 32 is dense-x
+    since round 5)."""
     from unidom_tpu.ops.pallas.mpm_big_kernel import _window
 
-    res = (48, 8, 16)
+    res = (64, 8, 16)
     assert _window(res) < res[0]
     sim_x, sim_b, state = build_pair(density=3.0, res=res)
     assert sim_b.n_particles > 128
@@ -316,14 +317,14 @@ def test_24k_particles_forward_parity():
                                rtol=1e-3, atol=1e-3)
 
 
-def test_pc64_wide_plane_parity():
-    """ryrz > 4096 selects the PC=64 chunk width (the backward kernel's
-    VMEM fix for pour_soup-scale planes, mpm_big_kernel._pc) — forward +
-    action-grad parity vs the oracle on the halved-chunk layout."""
-    from unidom_tpu.ops.pallas.mpm_big_kernel import _pc
+def test_ywindow_wide_plane_parity():
+    """ryrz > 4096 with rz % 128 == 0 selects the y-windowed transfer
+    layout (WY=16 lane windows, the round-5 pour_soup FLOP cut) — forward
+    + action-grad parity vs the oracle through the windowed path."""
+    from unidom_tpu.ops.pallas.mpm_big_kernel import _ywindow
 
-    res = (16, 72, 64)
-    assert _pc(res) == 64
+    res = (16, 40, 128)
+    assert _ywindow(res) == 16 < res[1]
     sim_x, sim_b, state = build_pair(res=res, steps=2)
     action = _action()
     ref, _ = sim_x.step_batch(state, action)
@@ -343,3 +344,41 @@ def test_pc64_wide_plane_parity():
                 / (jnp.linalg.norm(go) * jnp.linalg.norm(gp) + 1e-12))
     assert cos > 0.999, (cos, float(jnp.linalg.norm(go)),
                          float(jnp.linalg.norm(gp)))
+
+
+def test_bf16_operand_parity():
+    """kernel_dtype='bf16' on the big kernel casts ONLY the transfer-matmul
+    operands (f32 accumulation, f32 everything else) — fwd + action-grad
+    parity vs the f32 oracle within bf16 operand tolerance (the r4 small-
+    kernel probe measured the same scheme at grad cosine 0.998+)."""
+    from dataclasses import replace as _dc_replace
+
+    from unidom_tpu.engine.mpm import MPMSimulator
+
+    sim_x, sim_b, state = build_pair(res=(16, 40, 128), steps=2)
+    conf16 = _dc_replace(sim_b.conf, kernel_dtype="bf16")
+    sim16 = MPMSimulator(conf16, batch_size=B, use_position_control=False)
+    sim16.material = sim_b.material
+    sim16.h = sim_b.h
+    sim16.n_particles = sim_b.n_particles
+    for name in sim_b.sdf_names:
+        sim16.register_primitive_sdf(name)
+    sim16.finalize()
+    assert sim16.backend == "pallas_big"
+
+    action = _action()
+    ref, _ = sim_x.step_batch(state, action)
+    out, _ = sim16.step_batch(state, action)
+    assert float(jnp.max(jnp.abs(out.x - ref.x))) < 5e-3
+
+    def loss(fn):
+        def f(a):
+            s, _ = fn(state, a)
+            return jnp.sum(s.x * jnp.sin(jnp.arange(s.x.size, dtype=jnp.float32)
+                                         .reshape(s.x.shape)))
+        return jax.grad(f)(action)
+
+    go, gp = loss(sim_x.step_batch), loss(sim16.step_batch)
+    cos = float(jnp.sum(go * gp)
+                / (jnp.linalg.norm(go) * jnp.linalg.norm(gp) + 1e-12))
+    assert cos > 0.99, cos

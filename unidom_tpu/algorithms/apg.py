@@ -67,6 +67,7 @@ def build_apg(
     mesh=None,
     lr_decay_iters: Optional[int] = None,
     normalize_obs: bool = False,
+    pre_squash_penalty: float = 0.0,
 ):
     """Build (training_state, minimize, reset_batch, run_eval) for ``env``.
 
@@ -106,16 +107,26 @@ def build_apg(
                 lambda x: x,
                 nstate,
             )
-        return (nstate, params, normalizer_params, key), (nstate, actions, reward)
+        loc = logits[..., : env.action_size]
+        return (nstate, params, normalizer_params, key), (
+            nstate, actions, reward, jnp.mean(loc**2),
+        )
 
     def loss(params, normalizer_params, state, key):
-        _, (state_list, action_list, reward_list) = jax.lax.scan(
+        _, (state_list, action_list, reward_list, loc_sq) = jax.lax.scan(
             do_one_step,
             (state, params, normalizer_params, key),
             jnp.arange(episode_length),
             length=episode_length,
         )
-        return -jnp.mean(reward_list), (reward_list, state_list, action_list)
+        total = -jnp.mean(reward_list)
+        if pre_squash_penalty:
+            # Keeps the pre-squash means from blowing past the sigmoid's
+            # reachable box — the diagnosed fold_cloth3 saturation
+            # attractor (docs/BENCHMARKS.md round-3 section: |loc| mean
+            # 0.07 -> 4.0 before the policy freezes). Off by default.
+            total = total + pre_squash_penalty * jnp.mean(loc_sq)
+        return total, (reward_list, state_list, action_list)
 
     loss_grad = jax.grad(loss, has_aux=True)
 
@@ -297,6 +308,7 @@ def train(
     lr_decay: bool = False,
     normalize_obs: bool = False,
     randomize_reset: bool = False,
+    pre_squash_penalty: float = 0.0,
     aux_reward: bool = True,
     env_kwargs: Optional[dict] = None,
 ):
@@ -351,6 +363,7 @@ def train(
         mesh,
         lr_decay_iters=max_it if lr_decay else None,
         normalize_obs=normalize_obs,
+        pre_squash_penalty=pre_squash_penalty,
     )
     _, _, eval_reset, run_eval = build_apg(
         eval_env,
@@ -501,6 +514,9 @@ def main(argv=None):
     parser.add_argument("--no_aux_reward", action="store_true",
                         help="train WITHOUT the contact-distance aux reward "
                              "(the reference trains with it, apg.py:85)")
+    parser.add_argument("--pre_squash_penalty", type=float, default=0.0,
+                        help="L2 penalty on the policy's pre-squash means "
+                             "(anti-saturation; round-3 diagnosis)")
     parser.add_argument("--randomize_reset", action="store_true",
                         help="draw a fresh reset key every iteration for "
                              "plain-reset (cloth) envs; the reference keeps "
@@ -535,6 +551,7 @@ def main(argv=None):
         lr_decay=args.lr_decay,
         normalize_obs=args.normalize_obs,
         randomize_reset=args.randomize_reset,
+        pre_squash_penalty=args.pre_squash_penalty,
         aux_reward=not args.no_aux_reward,
     )
 

@@ -263,24 +263,28 @@ class MPMSimulator:
         if want == "auto" and not on_tpu:
             return
         kdtype = jnp.bfloat16 if self.conf.kernel_dtype == "bf16" else jnp.float32
-        if kdtype == jnp.bfloat16 and on_tpu:
-            # Interpret-validated only: the real-TPU Mosaic compile still
-            # fails on a packed-bf16 cmpf site (runs/r4/bench_bf16_mpm.log,
-            # predicate=3 on 8x128x2xbf16). Refuse rather than crash at
-            # first compile; numerics remain pinned by
-            # tests/test_kernel_dtype.py on the CPU interpreter.
-            raise NotImplementedError(
-                "kernel_dtype='bf16' does not yet compile on real TPU "
-                "(Mosaic packed-bf16 cmpf; see runs/r4/bench_bf16_mpm.log). "
-                "Use kernel_dtype='f32', or run on CPU interpret mode."
-            )
         if small_ok:
+            if kdtype == jnp.bfloat16 and on_tpu:
+                # Interpret-validated only: the small kernel's full-bf16
+                # scheme still fails the real-TPU Mosaic compile on a
+                # packed-bf16 cmpf site (runs/r4/bench_bf16_mpm.log,
+                # predicate=3 on 8x128x2xbf16). Refuse rather than crash at
+                # first compile; numerics remain pinned by
+                # tests/test_kernel_dtype.py on the CPU interpreter. The
+                # BIG kernel's bf16 (matmul operands only) compiles and is
+                # allowed below.
+                raise NotImplementedError(
+                    "kernel_dtype='bf16' does not yet compile on real TPU "
+                    "for the small fused kernel (Mosaic packed-bf16 cmpf; "
+                    "see runs/r4/bench_bf16_mpm.log). Use "
+                    "kernel_dtype='f32', or run on CPU interpret mode."
+                )
             kernel_step = build_mpm_step_kernel(
                 self, interpret=(not on_tpu), dtype=kdtype
             )
         else:
             kernel_step = build_mpm_big_step_kernel(
-                self, interpret=(not on_tpu)
+                self, interpret=(not on_tpu), dtype=kdtype
             )
         conf = self.conf
 
@@ -297,7 +301,24 @@ class MPMSimulator:
             state = state._replace(primitives=prims)
             return kernel_step(state, action)
 
+        need_remat = True
         if not small_ok:
+            # Only remat when the stacked hist residuals would actually
+            # pressure HBM: the replayed forward costs ~25% of the
+            # iteration (r5 split probe: fwd is ~1/4 of fwd+bwd at MXU
+            # speed-of-light), which is pure waste at small batch.
+            # Budget: per-call hist x a conservative 64 scanned calls
+            # (ep_len x push substeps) against 4 GB of the 16 GB HBM.
+            from unidom_tpu.ops.pallas.mpm_big_kernel import (
+                _ckpt_stride as _big_ckpt, _nc as _big_nc,
+            )
+
+            nc = _big_nc(self.n_particles)
+            k = _big_ckpt(conf.steps, nc)
+            n_ckpt = -(-conf.steps // k)
+            hist_bytes = self.batch_size * n_ckpt * 25 * nc * 128 * 4
+            need_remat = hist_bytes * 64 > 4 * 2**30
+        if not small_ok and need_remat:
             # Big-grid configs: one kernel call's checkpoint history is
             # (B, N_CKPT, 25, NC, PC) — ~150 MB at shape_elasto B=16. The
             # env scans ~20 calls per macro action and BPTT stacks every

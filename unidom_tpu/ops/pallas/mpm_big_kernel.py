@@ -65,17 +65,15 @@ from unidom_tpu.ops.pallas.mpm_kernel import (
     _w2quat,
 )
 
-PC = 128  # particle chunk width (lane dim); halved for >4096-lane planes
+PC = 128  # particle chunk width (lane dim)
 
 
 def _pc(res):
-    """Chunk width: the chunk-vjp residual planes in the backward kernel are
-    (PC, ry*rz) — at pour_soup's 8192-lane planes, PC=128 basis residuals
-    are 4 MB each and the kernel's VMEM demand was 142 MB of the physical
-    128 (runs/r4/bench_pour_soup.log). PC=64 halves every per-chunk plane;
-    the particle-block VPU cost (stage-1 stress/SVD) is negligible next to
-    the 1M-cell grid work."""
-    return 64 if res[1] * res[2] > 4096 else 128
+    """Chunk width. Round 5: always 128 — the per-chunk residual planes
+    that forced PC=64 at wide planes in round 4 are (3PC, WY*rz) once the
+    y-window caps the lane extent (2048 lanes at pour_soup res instead of
+    8192), so full-lane chunks fit the backward's VMEM budget again."""
+    return 128
 
 # one resident history block budget (fwd checkpoint block and per-segment
 # recompute block each stage through VMEM as whole output blocks)
@@ -103,11 +101,32 @@ def _window(res):
     dynamic sublane offsets provably multiple-of-8), which costs up to 7
     rows of coverage at the bottom of the window — widths are sized so the
     usable extent (WX - 3 stencil - 7 alignment) still comfortably covers a
-    sorted chunk's x spread."""
+    sorted chunk's x spread (measured <= 5 cells on a pour_soup rollout,
+    runs/r5/window_diag_pour_soup.json).
+
+    Round 5: rx <= 32 runs DENSE in x (WX = rx, origin statically 0) — the
+    stacked-transfer M dim 4*rx already fills the MXU and there is no
+    coverage hazard. Above that, WX=24 (usable 14) up to rx=64 and WX=32
+    (usable 22) beyond: measured per-chunk x spreads under the (x, y) sort
+    are <= 1 cell at shape_elasto res and <= 5 at pour_soup res
+    (runs/r5/window_diag_*.json), and the transfer FLOPs scale with WX
+    (dense-x at rx=48 measured ~2x the matmul work for no fill gain)."""
     rx = res[0]
     if rx <= 32:
-        return rx  # no windowing: origin is the constant 0
+        return rx  # dense: origin is the constant 0
     return 24 if rx <= 64 else 32
+
+
+def _ywindow(res):
+    """Static y-window height, or ry (no windowing) for small planes.
+    Lane-dim windows need 128-aligned lane offsets: with rz a multiple of
+    128 every oy*rz is aligned, so there is no alignment coverage loss —
+    usable extent is WY - 3 (stencil). Measured chunk y spread on a
+    pour_soup rollout: <= 9 cells (runs/r5/window_diag_pour_soup.json)."""
+    ry, rz = res[1], res[2]
+    if ry * rz <= 4096 or rz % 128 != 0:
+        return ry
+    return 16
 
 
 def mpm_big_kernel_supported(sim):
@@ -120,6 +139,15 @@ def mpm_big_kernel_supported(sim):
         return False
     if sim.n_particles > 128 * 1024:
         return False
+    # Wide planes (>4096 lanes) force SX=8; a ragged rx would take the
+    # unrolled slab-adjoint tail, whose stacked residual planes at that
+    # scale produced a 585 MB register-spill VMEM footprint
+    # (runs/r4/bench_pour_soup.log). They also require the y-window (the
+    # full-lane chunk residual planes are what broke the round-4 backward),
+    # whose lane offsets oy*rz are only 128-aligned when rz is a multiple
+    # of 128. Fall back to XLA otherwise.
+    if ry * rz > 4096 and (rx % 8 != 0 or rz % 128 != 0):
+        return False
     pc = _pc(conf.res)
     nc = _nc(sim.n_particles, pc)
     blk = N_COMP * nc * pc * 4
@@ -129,10 +157,17 @@ def mpm_big_kernel_supported(sim):
     return True
 
 
-def build_mpm_big_step_kernel(sim, interpret=False):
+def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
     """Build step_batch(state, action) -> (state, state) with a custom VJP.
     ``sim`` is a finalized MPMSimulator whose config passes
-    ``mpm_big_kernel_supported``."""
+    ``mpm_big_kernel_supported``.
+
+    ``dtype=jnp.bfloat16`` casts ONLY the transfer-matmul operands (the
+    stacked lhs/rhs/GG blocks) with f32 accumulation — the r4-validated
+    subset of the small kernel's bf16 scheme (action-grad cosine 0.998+,
+    tests/test_kernel_dtype.py). All state, spline evaluation, grid ops and
+    comparisons stay f32, which avoids every recorded Mosaic packed-bf16
+    cmpf failure site (runs/r4/bench_bf16_mpm.log)."""
     conf = sim.conf
     rx, ry, rz = conf.res
     ryrz = ry * rz
@@ -150,6 +185,10 @@ def build_mpm_big_step_kernel(sim, interpret=False):
     NC = _nc(P, PC)
     PPAD = NC * PC
     WX = _window(conf.res)
+    DENSE_X = WX == rx  # x origin statically 0, no coverage hazard
+    WY = _ywindow(conf.res)
+    USE_YW = WY != ry  # lane-dim windows (rz % 128 == 0 guaranteed)
+    NW = WY * rz  # transfer-plane lane extent (ryrz when not windowed)
     # static grid-op slab split (last slab may be shorter). Slab planes are
     # (SX, ryrz) live values in the kernel: cap them at ~256 kB so the
     # backward's per-slab linearization fits VMEM at 1M-cell grids.
@@ -254,57 +293,103 @@ def build_mpm_big_step_kernel(sim, interpret=False):
         """Chunk x-window origin (int32 scalar, 8-aligned) from the chunk's
         x row (1, PC) + validity row. Covers min(base) .. min(base)+WX-1
         minus up to 7 alignment rows (see _window)."""
+        if DENSE_X:
+            return 0
         mn = jnp.min(jnp.where(vmask > 0.5, x0_row, 1e9))
         ox = jnp.floor(mn * inv_dx - 0.5).astype(jnp.int32)
         ox = jnp.clip(ox, 0, rx - WX)
         # rx and WX are multiples of 8, so the aligned origin stays in range
         return pl.multiple_of((ox // 8) * 8, 8)
 
-    def _win_bases(xc, vmask, ox):
-        """Windowed x basis + full (y, z) plane bases for one chunk.
-        xc: 3-tuple of (1, PC). Returns wx, wxd (WX, PC) and byc, byc_yd,
-        byc_zd (PC, ryrz)."""
-        oxf = ox.astype(jnp.float32)
+    def window_origin_y(x1_row, vmask):
+        """Chunk y-window origin as a LANE offset oy*rz (int32 scalar,
+        128-aligned because rz % 128 == 0). No alignment rounding: every
+        oy is legal, so usable extent is the full WY - 3 stencil margin."""
+        if not USE_YW:
+            return 0
+        mn = jnp.min(jnp.where(vmask > 0.5, x1_row, 1e9))
+        oy = jnp.floor(mn * inv_dx - 0.5).astype(jnp.int32)
+        oy = jnp.clip(oy, 0, ry - WY)
+        return pl.multiple_of(oy * rz, 128)
+
+    def _read_win(ref, ch, ox, oyl):
+        """(WX, NW) window of grid plane ch at (ox, oy*rz)."""
+        xs = slice(None) if DENSE_X else pl.ds(ox, WX)
+        if USE_YW:
+            return ref[ch, xs, pl.ds(oyl, NW)]
+        return ref[ch, xs, :]
+
+    def _acc_win(ref, ch, ox, oyl, val):
+        """ref[ch, window] += val (read-modify-write on dynamic offsets)."""
+        xs = slice(None) if DENSE_X else pl.ds(ox, WX)
+        if USE_YW:
+            ref[ch, xs, pl.ds(oyl, NW)] += val
+        else:
+            ref[ch, xs, :] += val
+
+    def _chunk_bases(xc, vmask, ox, oyl):
+        """Windowed bases for one chunk. xc: 3-tuple of (1, PC). Returns
+        wx, wxd (WX, PC) and the lane-stacked rhs block
+        [byc; byc_yd; byc_zd] (3PC, NW)."""
+        oxf = jnp.asarray(ox).astype(jnp.float32)
         i = jax.lax.broadcasted_iota(jnp.int32, (WX, PC), 0).astype(jnp.float32)
         t = (i + oxf) - xc[0] * inv_dx
         wx = _spline(t) * vmask
         wxd = wx * t
-        jk = jax.lax.broadcasted_iota(jnp.int32, (PC, ryrz), 1)
+        oyf = (jnp.asarray(oyl) // rz).astype(jnp.float32)
+        jk = jax.lax.broadcasted_iota(jnp.int32, (PC, NW), 1)
         yd = jnp.transpose(xc[1]) * inv_dx  # (PC, 1)
         zd = jnp.transpose(xc[2]) * inv_dx
-        ty = (jk // rz).astype(jnp.float32) - yd
+        ty = ((jk // rz).astype(jnp.float32) + oyf) - yd
         tz = (jk % rz).astype(jnp.float32) - zd
         wy = _spline(ty)
         wz = _spline(tz)
-        return wx, wxd, wy * wz, (wy * ty) * wz, wy * (wz * tz)
+        rhs = jnp.concatenate(
+            [wy * wz, (wy * ty) * wz, wy * (wz * tz)], axis=0
+        )  # (3PC, NW)
+        return wx, wxd, rhs
 
-    def p2g_chunk(xc, vc, affc, vmask, ox):
-        """One chunk's windowed P2G. Returns (gwin 3-tuple (WX, ryrz),
-        gmwin (WX, ryrz))."""
-        wx, wxd, byc, byc_yd, byc_zd = _win_bases(xc, vmask, ox)
-        g = []
+    # Stacked transfers (round-5 MXU rework, mirroring the small kernel's
+    # round-4 form): the round-4 big kernel issued 19 matmuls per chunk per
+    # substep with M = WX (32) and K = PC (64), filling ~13% of the 128x128
+    # MXU. Stacking the three channels + the mass row along M and the three
+    # basis planes along K makes each transfer ONE matmul:
+    #   P2G = (4WX, 3PC) @ (3PC, NW)       (M >= 128, K = 384)
+    #   G2P = (3WX, NW) @ (NW, 3PC)        (K = NW >= 1536)
+    # and the y-window caps NW at WY*rz (pour_soup: 2048 instead of 8192),
+    # which is both the FLOP cut and what lets PC stay 128.
+
+    def p2g_chunk(xc, vc, affc, vmask, ox, oyl):
+        """One chunk's windowed stacked P2G -> (4WX, NW): rows
+        [0:WX) ch0, [WX:2WX) ch1, [2WX:3WX) ch2, [3WX:4WX) mass."""
+        wx, wxd, rhs = _chunk_bases(xc, vmask, ox, oyl)
+        zero = jnp.zeros((WX, PC), jnp.float32)
+        rows = []
         for ch in range(3):
-            lhs = wx * (p_mass * vc[ch]) + (dx * affc[ch][0]) * wxd
-            acc = _mm(lhs, byc)
-            acc += _mm((dx * affc[ch][1]) * wx, byc_yd)
-            acc += _mm((dx * affc[ch][2]) * wx, byc_zd)
-            g.append(acc)
-        gm = _mm(wx * p_mass, byc)
-        return tuple(g), gm
+            p0 = wx * (p_mass * vc[ch]) + (dx * affc[ch][0]) * wxd
+            p1 = (dx * affc[ch][1]) * wx
+            p2 = (dx * affc[ch][2]) * wx
+            rows.append(jnp.concatenate([p0, p1, p2], axis=1))
+        rows.append(jnp.concatenate([wx * p_mass, zero, zero], axis=1))
+        lhs = jnp.concatenate(rows, axis=0)  # (4WX, 3PC)
+        return _mm(lhs.astype(dtype), rhs.astype(dtype))
 
-    def g2p_chunk(xc, Jc, win, vmask, ox):
-        """One chunk's windowed G2P + advection. win: 3-tuple (WX, ryrz).
-        Returns (new_x 3-tuple (1, PC), new_v, new_C nested, new_J)."""
-        wx, wxd, byc, byc_yd, byc_zd = _win_bases(xc, vmask, ox)
+    def g2p_chunk(xc, Jc, GG, vmask, ox, oyl):
+        """One chunk's windowed stacked G2P + advection. GG: (3WX, NW)
+        channel-stacked post-op grid windows. Returns (new_x 3-tuple
+        (1, PC), new_v, new_C nested, new_J)."""
+        wx, wxd, rhs = _chunk_bases(xc, vmask, ox, oyl)
+        M_all = _mm_t(GG.astype(dtype), rhs.astype(dtype))  # (3WX, 3PC)
         nv = []
         nC = [[None] * 3 for _ in range(3)]
         for ch in range(3):
-            M = _mm_t(win[ch], byc)  # (WX, PC)
+            rows = M_all[ch * WX : (ch + 1) * WX]
+            M = rows[:, 0:PC]
             nv.append(jnp.sum(wx * M, axis=0, keepdims=True))
             nC[ch][0] = 4.0 * inv_dx * jnp.sum(wxd * M, axis=0, keepdims=True)
-            M_yd = _mm_t(win[ch], byc_yd)
+            M_yd = rows[:, PC : 2 * PC]
             nC[ch][1] = 4.0 * inv_dx * jnp.sum(wx * M_yd, axis=0, keepdims=True)
-            M_zd = _mm_t(win[ch], byc_zd)
+            M_zd = rows[:, 2 * PC : 3 * PC]
             nC[ch][2] = 4.0 * inv_dx * jnp.sum(wx * M_zd, axis=0, keepdims=True)
         new_v = tuple(nv)
         new_C = tuple(tuple(nC[i][j] for j in range(3)) for i in range(3))
@@ -496,12 +581,10 @@ def build_mpm_big_step_kernel(sim, interpret=False):
             )
             vmask = vrow(c)
             ox = window_origin(xc[0], vmask)
-            gwin, gmwin = p2g_chunk(xc, vc, affc, vmask, ox)
-            for ch in range(3):
-                cur = grid[ch, pl.ds(ox, WX), :]
-                grid[ch, pl.ds(ox, WX), :] = cur + gwin[ch]
-            cur = grid[3, pl.ds(ox, WX), :]
-            grid[3, pl.ds(ox, WX), :] = cur + gmwin
+            oyl = window_origin_y(xc[1], vmask)
+            G4 = p2g_chunk(xc, vc, affc, vmask, ox, oyl)  # (4WX, NW)
+            for ch in range(4):
+                _acc_win(grid, ch, ox, oyl, G4[ch * WX : (ch + 1) * WX])
             return 0
 
         jax.lax.fori_loop(0, NC, p2g_body, 0)
@@ -522,8 +605,11 @@ def build_mpm_big_step_kernel(sim, interpret=False):
             Jc = _row(ps, _IJ, c)
             vmask = vrow(c)
             ox = window_origin(xc[0], vmask)
-            win = tuple(grid[ch, pl.ds(ox, WX), :] for ch in range(3))
-            new_x, new_v, new_C, new_J = g2p_chunk(xc, Jc, win, vmask, ox)
+            oyl = window_origin_y(xc[1], vmask)
+            GG = jnp.concatenate(
+                [_read_win(grid, ch, ox, oyl) for ch in range(3)], axis=0
+            )
+            new_x, new_v, new_C, new_J = g2p_chunk(xc, Jc, GG, vmask, ox, oyl)
             for i in range(3):
                 ps[_IX + i, pl.ds(c, 1), :] = new_x[i]
                 ps[_IV + i, pl.ds(c, 1), :] = new_v[i]
@@ -648,12 +734,10 @@ def build_mpm_big_step_kernel(sim, interpret=False):
             )
             vmask = vrow(c)
             ox = window_origin(xc[0], vmask)
-            gwin, gmwin = p2g_chunk(xc, vc, affc, vmask, ox)
-            for ch in range(3):
-                cur = grid[ch, pl.ds(ox, WX), :]
-                grid[ch, pl.ds(ox, WX), :] = cur + gwin[ch]
-            cur = grid[3, pl.ds(ox, WX), :]
-            grid[3, pl.ds(ox, WX), :] = cur + gmwin
+            oyl = window_origin_y(xc[1], vmask)
+            G4 = p2g_chunk(xc, vc, affc, vmask, ox, oyl)
+            for ch in range(4):
+                _acc_win(grid, ch, ox, oyl, G4[ch * WX : (ch + 1) * WX])
             return 0
 
         jax.lax.fori_loop(0, NC, p2g_fwd_body, 0)
@@ -681,17 +765,20 @@ def build_mpm_big_step_kernel(sim, interpret=False):
             Jc = saved_ref[0, _IJ, pl.ds(c, 1), :]
             vmask = vrow(c)
             ox = window_origin(xc[0], vmask)
-            win = tuple(grid2[ch, pl.ds(ox, WX), :] for ch in range(3))
+            oyl = window_origin_y(xc[1], vmask)
+            GG = jnp.concatenate(
+                [_read_win(grid2, ch, ox, oyl) for ch in range(3)], axis=0
+            )
 
             # NOTE: no jax.checkpoint here — Mosaic has no lowering for
             # remat2 inside a TPU kernel (runs/r4/bigrid_parity2.jsonl;
             # interpret mode accepts it silently). Liveness is bounded
             # structurally instead: chunk/slab walks are fori_loops, so one
             # iteration's linearization residuals are live at a time.
-            def g2p_in(xc, Jc, win):
-                return g2p_chunk(xc, Jc, win, vmask, ox)
+            def g2p_in(xc, Jc, GG):
+                return g2p_chunk(xc, Jc, GG, vmask, ox, oyl)
 
-            _, vjpB = jax.vjp(g2p_in, xc, Jc, win)
+            _, vjpB = jax.vjp(g2p_in, xc, Jc, GG)
             gx = tuple(gstate_ref[0, _IX + i, pl.ds(c, 1), :] for i in range(3))
             gv = tuple(gstate_ref[0, _IV + i, pl.ds(c, 1), :] for i in range(3))
             gC = tuple(
@@ -702,22 +789,23 @@ def build_mpm_big_step_kernel(sim, interpret=False):
                 for i in range(3)
             )
             gJ = gstate_ref[0, _IJ, pl.ds(c, 1), :]
-            dxc, dJc, dwin = vjpB((gx, gv, gC, gJ))
+            dxc, dJc, dGG = vjpB((gx, gv, gC, gJ))
             for i in range(3):
                 dstate_ref[0, _IX + i, pl.ds(c, 1), :] = dxc[i]
             dstate_ref[0, _IJ, pl.ds(c, 1), :] = dJc
             for ch in range(3):
-                cur = dgrid[ch, pl.ds(ox, WX), :]
-                dgrid[ch, pl.ds(ox, WX), :] = cur + dwin[ch]
+                _acc_win(dgrid, ch, ox, oyl, dGG[ch * WX : (ch + 1) * WX])
             return 0
 
         jax.lax.fori_loop(0, NC, g2p_bwd_body, 0)
 
         # 6. grid-op adjoint per slab: dgrid (d_gpost) -> d_graw in place,
         # d_gm into dgm, scalar cotangents accumulated in the loop carry.
-        # A lax.fori_loop (not a Python unroll) + jax.checkpoint keeps one
-        # slab's linearization live at a time — unrolled, the 8 slabs'
-        # residual planes at pour_soup res stacked into Mosaic spill slots.
+        # A lax.fori_loop (not a Python unroll) keeps one slab's
+        # linearization live at a time — unrolled, the 8 slabs' residual
+        # planes at pour_soup res stacked into Mosaic spill slots.
+        # (jax.checkpoint cannot help here: Mosaic has no remat2 lowering
+        # inside TPU kernels — see the NOTE at g2p_bwd_body.)
         zerof = jnp.zeros((), jnp.float32)
         zeros_like_tree = lambda t: jax.tree_util.tree_map(
             lambda _: zerof, t
@@ -791,14 +879,18 @@ def build_mpm_big_step_kernel(sim, interpret=False):
             )
             vmask = vrow(c)
             ox = window_origin(xc[0], vmask)
+            oyl = window_origin_y(xc[1], vmask)
 
             def p2g_in(xc, vc, affc):
-                return p2g_chunk(xc, vc, affc, vmask, ox)
+                return p2g_chunk(xc, vc, affc, vmask, ox, oyl)
 
             _, vjpP = jax.vjp(p2g_in, xc, vc, affc)
-            dgw = tuple(dgrid[ch, pl.ds(ox, WX), :] for ch in range(3))
-            dgmw = dgm[0, pl.ds(ox, WX), :]
-            dxc, dvc, daffc = vjpP((dgw, dgmw))
+            dG4 = jnp.concatenate(
+                [_read_win(dgrid, ch, ox, oyl) for ch in range(3)]
+                + [_read_win(dgm, 0, ox, oyl)],
+                axis=0,
+            )  # (4WX, NW)
+            dxc, dvc, daffc = vjpP(dG4)
             for i in range(3):
                 cur = dstate_ref[0, _IX + i, pl.ds(c, 1), :]
                 dstate_ref[0, _IX + i, pl.ds(c, 1), :] = cur + dxc[i]
@@ -1001,10 +1093,16 @@ def build_mpm_big_step_kernel(sim, interpret=False):
     # ---------------- pack / unpack with x sort (XLA side) ---------------- #
 
     def _sort_order(x):
-        """(B, P, 3) -> (order, inv) (B, P) int32, stable sort by x cell so
-        each 128-particle chunk is x-coherent for the windowed transfers."""
+        """(B, P, 3) -> (order, inv) (B, P) int32, stable sort by
+        (x cell, y cell) lexicographic so each 128-particle chunk is
+        coherent in both windowed dims. Measured spreads under this sort on
+        a pour_soup rollout: x <= 5, y <= 9 cells per chunk group
+        (runs/r5/window_diag_pour_soup.json) vs usable extents WX-3-7 and
+        WY-3."""
         xcell = jnp.floor(x[..., 0] * inv_dx).astype(jnp.int32)
-        order = jnp.argsort(xcell, axis=1, stable=True)
+        ycell = jnp.floor(x[..., 1] * inv_dx).astype(jnp.int32)
+        key = xcell * n_grid + jnp.clip(ycell, 0, n_grid - 1)
+        order = jnp.argsort(key, axis=1, stable=True)
         inv = jnp.argsort(order, axis=1, stable=True)
         return order, inv
 
