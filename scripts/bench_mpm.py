@@ -34,8 +34,9 @@ def main():
 
     backend = os.environ.get("BENCH_BACKEND", "")
     res_override = os.environ.get("BENCH_RES", "")
+    kdtype = os.environ.get("BENCH_KERNEL_DTYPE", "")
     kw = {}
-    if backend or res_override:
+    if backend or res_override or kdtype:
         import dataclasses
 
         cls = env_functions[env_name]
@@ -45,6 +46,8 @@ def main():
             repl["backend"] = backend
         if res_override:
             repl["res"] = tuple(int(x) for x in res_override.split(","))
+        if kdtype:
+            repl["kernel_dtype"] = kdtype
         kw["conf"] = dataclasses.replace(probe.conf, **repl)
     env = env_functions[env_name](batch_size=num_envs // n_dev, **kw)
     env.reset(jax.random.PRNGKey(0))  # MPM envs size their obs at reset

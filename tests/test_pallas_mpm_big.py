@@ -382,3 +382,38 @@ def test_bf16_operand_parity():
     cos = float(jnp.sum(go * gp)
                 / (jnp.linalg.norm(go) * jnp.linalg.norm(gp) + 1e-12))
     assert cos > 0.99, cos
+
+
+def test_ywindow_aligned_rz48_parity():
+    """rz % 128 != 0 but rz % 16 == 0: y-window origins restricted to
+    multiples of 128/gcd(rz,128) (=8 at rz=48 — the shape_elasto plane
+    shape). Forward + grad parity through the aligned-origin path, plus
+    the runtime coverage guard."""
+    from unidom_tpu.ops.pallas.mpm_big_kernel import _ywindow
+
+    res = (16, 32, 48)
+    assert _ywindow(res) == 16 < res[1]
+    sim_x, sim_b, state = build_pair(res=res, steps=2)
+    action = _action()
+
+    rep = sim_b.step_batch.coverage_report(state)
+    assert rep["ok"], rep
+    assert rep["y_usable"] == 16 - 3 - 7
+
+    ref, _ = sim_x.step_batch(state, action)
+    out, _ = sim_b.step_batch(state, action)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v),
+                               rtol=1e-3, atol=1e-4)
+
+    def loss(fn):
+        def f(a):
+            s, _ = fn(state, a)
+            return jnp.sum(s.x * jnp.sin(jnp.arange(s.x.size, dtype=jnp.float32)
+                                         .reshape(s.x.shape)))
+        return jax.grad(f)(action)
+
+    go, gp = loss(sim_x.step_batch), loss(sim_b.step_batch)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(go),
+                               rtol=2e-3, atol=1e-6)

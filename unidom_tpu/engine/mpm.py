@@ -357,6 +357,9 @@ class MPMSimulator:
             def step_batch(state, action):
                 o1, o2 = _flat_step(_flat(state), action)
                 return _unflat(o1), _unflat(o2)
+        cov = getattr(kernel_step, "coverage_report", None)
+        if cov is not None:
+            step_batch.coverage_report = cov
         self.step_batch = step_batch
         self.backend = "pallas" if small_ok else "pallas_big"
 

@@ -76,8 +76,12 @@ def _pc(res):
     return 128
 
 # one resident history block budget (fwd checkpoint block and per-segment
-# recompute block each stage through VMEM as whole output blocks)
-_HIST_BUDGET = 16 * 2**20
+# recompute block each stage through VMEM as whole output blocks).
+# Round 5: 36 MB — lets steps<=25 configs at pour_soup/shape_elasto scale
+# run CKPT_K=1 (no segment-recompute pass in the backward, ~1 fwd saved per
+# substep); fwd-kernel VMEM = 2x hist block (pipelining) + scratch stays
+# under the 126 MB limit at both true-res configs.
+_HIST_BUDGET = 36 * 2**20
 # grid scratch budget: fwd needs 4 planes, bwd 4 (recompute) + 3 (post-op)
 # + 3 (d_post/d_raw, aliased) + 1 (d_mass) = 11, plus slack for transients
 _GRID_BUDGET = 56 * 2**20
@@ -118,15 +122,25 @@ def _window(res):
 
 
 def _ywindow(res):
-    """Static y-window height, or ry (no windowing) for small planes.
-    Lane-dim windows need 128-aligned lane offsets: with rz a multiple of
-    128 every oy*rz is aligned, so there is no alignment coverage loss —
-    usable extent is WY - 3 (stencil). Measured chunk y spread on a
-    pour_soup rollout: <= 9 cells (runs/r5/window_diag_pour_soup.json)."""
+    """Static y-window height, or ry (no windowing).
+
+    Lane-dim windows need 128-aligned lane offsets. With rz a multiple of
+    128 every oy*rz is aligned (no alignment coverage loss; usable extent
+    WY - 3). Otherwise origins are restricted to multiples of
+    A = 128/gcd(rz, 128) — e.g. rz=48 -> A=8 (8*48 = 3*128) — costing up
+    to A-1 rows of coverage at the bottom. The window is used only when
+    the usable extent still comfortably covers measured chunk spreads
+    (pour_soup y <= 9, shape_elasto y <= 4 —
+    runs/r5/window_diag_*.json) and it cuts the plane at least 2x."""
     ry, rz = res[1], res[2]
-    if ry * rz <= 4096 or rz % 128 != 0:
+    wy = 16
+    align = 128 // math.gcd(rz, 128)
+    if ry < 2 * wy or (wy * rz) % 128 != 0:
         return ry
-    return 16
+    usable = wy - 3 - (align - 1)
+    if usable < 6:
+        return ry
+    return wy
 
 
 def mpm_big_kernel_supported(sim):
@@ -143,10 +157,10 @@ def mpm_big_kernel_supported(sim):
     # unrolled slab-adjoint tail, whose stacked residual planes at that
     # scale produced a 585 MB register-spill VMEM footprint
     # (runs/r4/bench_pour_soup.log). They also require the y-window (the
-    # full-lane chunk residual planes are what broke the round-4 backward),
-    # whose lane offsets oy*rz are only 128-aligned when rz is a multiple
-    # of 128. Fall back to XLA otherwise.
-    if ry * rz > 4096 and (rx % 8 != 0 or rz % 128 != 0):
+    # full-lane chunk residual planes are what broke the round-4 backward);
+    # _ywindow returns ry when no lane-aligned window exists. Fall back to
+    # XLA otherwise.
+    if ry * rz > 4096 and (rx % 8 != 0 or _ywindow((rx, ry, rz)) == ry):
         return False
     pc = _pc(conf.res)
     nc = _nc(sim.n_particles, pc)
@@ -303,13 +317,17 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
 
     def window_origin_y(x1_row, vmask):
         """Chunk y-window origin as a LANE offset oy*rz (int32 scalar,
-        128-aligned because rz % 128 == 0). No alignment rounding: every
-        oy is legal, so usable extent is the full WY - 3 stencil margin."""
+        128-aligned). Origins are restricted to multiples of
+        A = 128/gcd(rz, 128) so oy*rz is always a lane-tile multiple
+        (A == 1 when rz % 128 == 0 — no rounding loss there)."""
         if not USE_YW:
             return 0
         mn = jnp.min(jnp.where(vmask > 0.5, x1_row, 1e9))
         oy = jnp.floor(mn * inv_dx - 0.5).astype(jnp.int32)
         oy = jnp.clip(oy, 0, ry - WY)
+        align = 128 // math.gcd(rz, 128)
+        if align > 1:
+            oy = (oy // align) * align
         return pl.multiple_of(oy * rz, 128)
 
     def _read_win(ref, ch, ox, oyl):
@@ -1207,6 +1225,43 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
         nstate = _unpack(state, state_pk, traj, inv)
         return nstate, nstate
 
+    def coverage_report(state):
+        """Max per-chunk x/y cell spreads for ``state`` under the kernel's
+        own sort vs the windows' usable extents. Support outside a window
+        is dropped (mirroring the reference's OOB scatter drop), so
+        ``ok`` False means the config's windows are too narrow for this
+        state — a silent-physics-error guard for benches and tests."""
+        order, _ = _sort_order(state.x)
+        xs = _takeB(state.x[..., 0], order)
+        ys = _takeB(state.x[..., 1], order)
+
+        def cells(t):
+            c = jnp.floor(t * inv_dx - 0.5).astype(jnp.int32)
+            Bn = t.shape[0]
+            pad = jnp.pad(c, ((0, 0), (0, PPAD - P)), constant_values=10**6)
+            return pad.reshape(Bn, NC, PC)
+
+        cx, cy = cells(xs), cells(ys)
+        valid = jnp.pad(
+            jnp.ones((cx.shape[0], P), bool), ((0, 0), (0, PPAD - P))
+        ).reshape(cx.shape)
+        big = 10**6
+        spread = lambda c: (
+            jnp.max(jnp.where(valid, c, -big), axis=-1)
+            - jnp.min(jnp.where(valid, c, big), axis=-1)
+        ).max()
+        sx = spread(cx)
+        sy = spread(cy)
+        usable_x = (WX - 3 - 7) if not DENSE_X else 10**6
+        align_y = 128 // math.gcd(rz, 128)
+        usable_y = (WY - 3 - (align_y - 1)) if USE_YW else 10**6
+        return {
+            "x_spread": int(sx), "x_usable": usable_x,
+            "y_spread": int(sy), "y_usable": usable_y,
+            "ok": bool((int(sx) <= usable_x) and (int(sy) <= usable_y)),
+        }
+
     step_batch._core = _core
     step_batch._pack = _pack
+    step_batch.coverage_report = coverage_report
     return step_batch
