@@ -30,7 +30,7 @@ from unidom_tpu.utils.cache import enable_compilation_cache
 
 def main():
     enable_compilation_cache()
-    out = "runs/r4/identify"
+    out = os.environ.get("IDENTIFY_OUT", "runs/r5/identify")
     os.makedirs(out, exist_ok=True)
     t0 = time.time()
 

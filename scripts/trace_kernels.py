@@ -98,6 +98,11 @@ def main():
 
         ts, metrics = minimize(ts, state)  # compile+warm
         jax.block_until_ready(metrics)
+        # second warmup: shard_map output shardings re-specialize the jit
+        # (second ~full compile) — must stay out of the timed window
+        # (runs/r5/pour_soup_steady_state.log; CLAUDE.md round-5 lessons)
+        ts, metrics = minimize(ts, state)
+        jax.block_until_ready(metrics)
 
         t0 = time.time()
         for _ in range(args.iters):
