@@ -211,6 +211,12 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
 
     CKPT_K = _ckpt_stride(steps, NC, PC)
     N_CKPT = -(-steps // CKPT_K)
+    # Store the raw (pre-grid-op) grid per substep as a forward output so
+    # the backward skips its whole-P2G recompute pass (~1 of ~4 chunk
+    # passes). Only for small planes where the (steps, 4, rx, ryrz) block
+    # streams through VMEM (shape_elasto 18.9 MB; pour_soup would be
+    # 419 MB -> keeps the recompute there).
+    STORE_GRAW = CKPT_K == 1 and steps * 4 * rx * ryrz * 4 <= 24 * 2**20
 
     mat = np.asarray(sim.material)
     has_water = bool((mat == 0).any())
@@ -572,9 +578,12 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
 
     # ---------------- one full substep on scratch refs ---------------- #
 
-    def run_substep(ps, aff, grid, consts, vrow, mats, gf, prims, theta):
+    def run_substep(ps, aff, grid, consts, vrow, mats, gf, prims, theta,
+                    graw_ref=None, t=None):
         """Advance ps (N_COMP, NC, PC) in place by one substep using grid
-        (4, rx, ryrz) and aff (9, NC, PC) scratch. Returns new_prims."""
+        (4, rx, ryrz) and aff (9, NC, PC) scratch. Returns new_prims.
+        ``graw_ref``/``t``: optional (1, steps, 4, rx, ryrz) output ref to
+        record the raw post-P2G grid (STORE_GRAW)."""
         valid, h, water, plastic_m, vm_m = (consts[i] for i in range(5))
         mu_raw, la_raw, ys = mats
 
@@ -606,6 +615,10 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
             return 0
 
         jax.lax.fori_loop(0, NC, p2g_body, 0)
+
+        if graw_ref is not None:
+            for ch in range(4):
+                graw_ref[0, t, ch] = grid[ch]
 
         new_prims = fk(prims, theta)
 
@@ -653,7 +666,12 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
 
     def fwd_kernel(state_ref, mat_ref, scal_ref, prim_ref, const_ref,
                    out_ref, traj_ref, hist_ref, hist_prim_ref,
-                   ps, aff, grid):
+                   *rest):
+        if STORE_GRAW:
+            graw_ref, ps, aff, grid = rest
+        else:
+            graw_ref = None
+            ps, aff, grid = rest
         consts, vrow, mats, gf = _read_inputs(mat_ref, scal_ref, const_ref)
         prims, theta = _read_prims(prim_ref)
         for k in range(N_COMP):
@@ -672,7 +690,8 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
                 @pl.when(t % CKPT_K == 0)
                 def _():
                     _store_ckpt(t // CKPT_K, prims)
-            new_prims = run_substep(ps, aff, grid, consts, vrow, mats, gf, prims, theta)
+            new_prims = run_substep(ps, aff, grid, consts, vrow, mats, gf,
+                                    prims, theta, graw_ref, t)
             for ip in range(n_prim):
                 traj_ref[0, ip, pl.ds(t + 1, 1), :] = _traj_row(new_prims[ip])
             return new_prims
@@ -709,9 +728,15 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
 
     def bwd_step_kernel(saved_ref, saved_prim_ref, mat_ref, scal_ref,
                         prim_ref, const_ref, gstate_ref, gprim_ref,
-                        dstate_ref, dprimc_ref, dmat_ref, dscal_ref,
-                        dptheta_ref,
-                        aff, grid, grid2, dgrid, dgm):
+                        *rest):
+        if STORE_GRAW:
+            (saved_graw_ref,
+             dstate_ref, dprimc_ref, dmat_ref, dscal_ref, dptheta_ref,
+             aff, grid, grid2, dgrid, dgm) = rest
+        else:
+            saved_graw_ref = None
+            (dstate_ref, dprimc_ref, dmat_ref, dscal_ref, dptheta_ref,
+             aff, grid, grid2, dgrid, dgm) = rest
         consts, vrow, mats, gf = _read_inputs(mat_ref, scal_ref, const_ref)
         _, theta = _read_prims(prim_ref)
         prims = _read_prim_rows(saved_prim_ref)
@@ -739,26 +764,35 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
             for j in range(3):
                 aff[3 * i + j] = affine[i][j]
 
-        # 2. recompute raw grid (P2G over chunks)
-        for ch in range(4):
-            grid[ch] = jnp.zeros((rx, ryrz), jnp.float32)
-
-        def p2g_fwd_body(c, _):
-            xc = tuple(saved_ref[0, _IX + i, pl.ds(c, 1), :] for i in range(3))
-            vc = tuple(saved_ref[0, _IV + i, pl.ds(c, 1), :] for i in range(3))
-            affc = tuple(
-                tuple(_row(aff, 3 * i + j, c) for j in range(3))
-                for i in range(3)
-            )
-            vmask = vrow(c)
-            ox = window_origin(xc[0], vmask)
-            oyl = window_origin_y(xc[1], vmask)
-            G4 = p2g_chunk(xc, vc, affc, vmask, ox, oyl)
+        # 2. raw grid: load the forward's stored planes (STORE_GRAW) or
+        # recompute via a P2G pass over chunks
+        if STORE_GRAW:
             for ch in range(4):
-                _acc_win(grid, ch, ox, oyl, G4[ch * WX : (ch + 1) * WX])
-            return 0
+                grid[ch] = saved_graw_ref[0, ch]
+        else:
+            for ch in range(4):
+                grid[ch] = jnp.zeros((rx, ryrz), jnp.float32)
 
-        jax.lax.fori_loop(0, NC, p2g_fwd_body, 0)
+            def p2g_fwd_body(c, _):
+                xc = tuple(
+                    saved_ref[0, _IX + i, pl.ds(c, 1), :] for i in range(3)
+                )
+                vc = tuple(
+                    saved_ref[0, _IV + i, pl.ds(c, 1), :] for i in range(3)
+                )
+                affc = tuple(
+                    tuple(_row(aff, 3 * i + j, c) for j in range(3))
+                    for i in range(3)
+                )
+                vmask = vrow(c)
+                ox = window_origin(xc[0], vmask)
+                oyl = window_origin_y(xc[1], vmask)
+                G4 = p2g_chunk(xc, vc, affc, vmask, ox, oyl)
+                for ch in range(4):
+                    _acc_win(grid, ch, ox, oyl, G4[ch * WX : (ch + 1) * WX])
+                return 0
+
+            jax.lax.fori_loop(0, NC, p2g_fwd_body, 0)
 
         # 3. FK forward with vjp (scalars)
         def fk_in(prims, theta):
@@ -987,21 +1021,30 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
         pltpu.VMEM((4, rx, ryrz), jnp.float32),  # grid
     ]
 
+    graw_spec = _spec((steps, 4, rx, ryrz))
+
     def fwd_call(inputs):
         B = inputs[0].shape[0]
+        out_specs = [state_spec, traj_spec, hist_spec, hist_prim_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, N_COMP, NC, PC), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_prim, steps + 1, TRAJ_COLS), jnp.float32),
+            jax.ShapeDtypeStruct((B, N_CKPT, N_COMP, NC, PC), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (B, N_CKPT, n_prim, 1, TRAJ_COLS), jnp.float32
+            ),
+        ]
+        if STORE_GRAW:
+            out_specs.append(graw_spec)
+            out_shape.append(
+                jax.ShapeDtypeStruct((B, steps, 4, rx, ryrz), jnp.float32)
+            )
         return pl.pallas_call(
             fwd_kernel,
             grid=(B,),
             in_specs=in_specs,
-            out_specs=[state_spec, traj_spec, hist_spec, hist_prim_spec],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, N_COMP, NC, PC), jnp.float32),
-                jax.ShapeDtypeStruct((B, n_prim, steps + 1, TRAJ_COLS), jnp.float32),
-                jax.ShapeDtypeStruct((B, N_CKPT, N_COMP, NC, PC), jnp.float32),
-                jax.ShapeDtypeStruct(
-                    (B, N_CKPT, n_prim, 1, TRAJ_COLS), jnp.float32
-                ),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=_fwd_scratch,
             interpret=interpret,
             compiler_params=_params,
@@ -1025,13 +1068,16 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
             compiler_params=_params,
         )(start_state, start_prim, inputs[1], inputs[2], inputs[3], inputs[4])
 
-    def bwd_step_call(saved, saved_prim, inputs, g_state, g_prim):
+    def bwd_step_call(saved, saved_prim, inputs, g_state, g_prim,
+                      saved_graw=None):
         B = saved.shape[0]
+        extra_in = [_spec((4, rx, ryrz))] if STORE_GRAW else []
+        extra_args = [saved_graw] if STORE_GRAW else []
         return pl.pallas_call(
             bwd_step_kernel,
             grid=(B,),
             in_specs=[state_spec, prow_spec, mat_spec, scal_spec, prim_spec,
-                      const_spec, state_spec, prow_spec],
+                      const_spec, state_spec, prow_spec] + extra_in,
             out_specs=[state_spec, prow_spec, mat_spec, scal_spec, prim_spec],
             out_shape=[
                 jax.ShapeDtypeStruct((B, N_COMP, NC, PC), jnp.float32),
@@ -1050,7 +1096,7 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
             interpret=interpret,
             compiler_params=_params,
         )(saved, saved_prim, inputs[1], inputs[2], inputs[3], inputs[4],
-          g_state, g_prim)
+          g_state, g_prim, *extra_args)
 
     @jax.custom_vjp
     def _core(inputs):
@@ -1059,18 +1105,24 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
 
     def _core_fwd(inputs):
         out = fwd_call(list(inputs))
-        return (out[0], out[1]), (inputs, out[2], out[3])
+        graw = out[4] if STORE_GRAW else None
+        return (out[0], out[1]), (inputs, out[2], out[3], graw)
 
     def _core_bwd(res, g):
-        inputs, hist, hist_prim = res
+        inputs, hist, hist_prim, graw = res
         g_state_out, g_traj = g
         gtraj_rows = jnp.moveaxis(g_traj, 2, 0)[:, :, :, None, :]
 
         def body(acc, xs):
             g_state, g_prim, g_mat, g_scal, g_ptheta = acc
-            saved, saved_prim, gtraj_row = xs
+            if STORE_GRAW:
+                saved, saved_prim, gtraj_row, saved_graw = xs
+            else:
+                saved, saved_prim, gtraj_row = xs
+                saved_graw = None
             d_state, d_primc, d_mat, d_scal, d_ptheta = bwd_step_call(
-                saved, saved_prim, inputs, g_state, g_prim + gtraj_row
+                saved, saved_prim, inputs, g_state, g_prim + gtraj_row,
+                saved_graw,
             )
             return (
                 d_state, d_primc, g_mat + d_mat, g_scal + d_scal,
@@ -1088,6 +1140,8 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
             hist_t = jnp.moveaxis(hist, 1, 0)
             hist_prim_t = jnp.moveaxis(hist_prim, 1, 0)
             xs = (hist_t[::-1], hist_prim_t[::-1], gtraj_rows[1:][::-1])
+            if STORE_GRAW:
+                xs = xs + (jnp.moveaxis(graw, 1, 0)[::-1],)
             acc, _ = jax.lax.scan(body, acc, xs)
         else:
             for s in reversed(range(N_CKPT)):
