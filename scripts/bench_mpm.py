@@ -84,7 +84,7 @@ def main():
         "metric": f"{env_name} APG env-steps/s/chip (fwd+bwd)",
         "value": round(sps, 2),
         "unit": "steps/s/chip",
-        "vs_baseline": 1.0,
+        "vs_baseline": None,  # no recorded reference-layout baseline for this env
         "num_envs": num_envs,
         "ep_len": ep_len,
         "res": list(env.conf.res),
