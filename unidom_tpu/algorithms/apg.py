@@ -259,11 +259,20 @@ def build_apg(
         key = jax.random.PRNGKey(seed)
         key, key_models = jax.random.split(key)
         policy_params = policy_model.init(key_models)
-        return TrainingState(
+        ts = TrainingState(
             key=key,
             normalizer_params=create_observation_normalizer(env.observation_size),
             optimizer_state=optimizer.init(policy_params),
             policy_params=policy_params,
+        )
+        # Pre-place with minimize's replicated output sharding: otherwise
+        # the first minimize's outputs (shard_map shardings) re-specialize
+        # the jit and the SECOND call pays another ~full XLA compile
+        # (~100 s at pour_soup scale — runs/r5/pour_soup_steady_state.log,
+        # CLAUDE.md round-5 lessons; reproduced + fixed on the CPU mesh).
+        repl = NamedSharding(mesh, P())
+        return jax.device_put(
+            ts, jax.tree_util.tree_map(lambda _: repl, ts)
         )
 
     return init_training_state, minimize, reset_batch, run_eval
