@@ -119,7 +119,7 @@ def main():
         evals = [(r["it"], r.get("eval_reward")) for r in ppo
                  if r.get("eval_reward") is not None]
         ents = [r.get("entropy") for r in ppo if r.get("entropy") is not None]
-        if evals:
+        if evals and ents:
             best = max(evals, key=lambda t: t[1])
             print(f"\n## PPO shape_rope (entropy floor): best eval "
                   f"{best[1]:.3f} @ it {best[0]}; final eval {evals[-1][1]:.3f}"
