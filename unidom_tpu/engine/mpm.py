@@ -318,6 +318,11 @@ class MPMSimulator:
             n_ckpt = -(-conf.steps // k)
             hist_bytes = self.batch_size * n_ckpt * 25 * nc * 128 * 4
             need_remat = hist_bytes * 64 > 4 * 2**30
+            import os as _os  # debug override (runs/r5 B=16 fault bisect)
+
+            _force = _os.environ.get("UNIDOM_BIG_REMAT", "")
+            if _force in ("0", "1"):
+                need_remat = _force == "1"
         if not small_ok and need_remat:
             # Big-grid configs: one kernel call's checkpoint history is
             # (B, N_CKPT, 25, NC, PC) — ~150 MB at shape_elasto B=16. The
@@ -349,14 +354,66 @@ class MPMSimulator:
 
             inner_step = step_batch
 
-            @jax.checkpoint
-            def _flat_step(fs, action):
-                o1, o2 = inner_step(_unflat(fs), action)
-                return _flat(o1), _flat(o2)
+            # MANUAL remat (round 5): jax.checkpoint around the kernel's
+            # custom_vjp measured ~18x the forward cost, not the expected
+            # "+1 replay" (runs/r5/pour_soup_steady_state.log). This
+            # custom_vjp saves ONLY (state, action) and replays the
+            # forward exactly once inside jax.vjp — the same memory
+            # behavior with the intended cost.
+            from jax.dtypes import float0 as _f0
+
+            def _isf(x):
+                return jnp.issubdtype(jnp.result_type(x), jnp.floating)
+
+            def _split(tree):
+                leaves, treedef = jax.tree_util.tree_flatten(tree)
+                mask = [_isf(l) for l in leaves]
+                fl = [l for l, m in zip(leaves, mask) if m]
+                il = [l for l, m in zip(leaves, mask) if not m]
+                return fl, il, (treedef, tuple(mask))
+
+            def _merge(fl, il, spec):
+                treedef, mask = spec
+                fi, ii, out = iter(fl), iter(il), []
+                for m in mask:
+                    out.append(next(fi) if m else next(ii))
+                return jax.tree_util.tree_unflatten(treedef, out)
 
             def step_batch(state, action):
-                o1, o2 = _flat_step(_flat(state), action)
-                return _unflat(o1), _unflat(o2)
+                # Differentiate through a FLOAT-only custom_vjp: the two
+                # outputs alias the int leaves (key, cur_step), whose
+                # float0 cotangents would be added in the replayed
+                # pullback (jax.checkpoint's symbolic-zero machinery
+                # handled that; plain jax.vjp does not).
+                fl0, il0, spec0 = _split(_flat(state))
+
+                def impl(fl, il, action):
+                    o1, o2 = inner_step(_unflat(_merge(fl, il, spec0)),
+                                        action)
+                    f1, _, _ = _split(_flat(o1))
+                    f2, _, _ = _split(_flat(o2))
+                    return f1, f2
+
+                remat = jax.custom_vjp(impl)
+
+                def fwd(fl, il, action):
+                    return impl(fl, il, action), (fl, il, action)
+
+                def bwd(res, g):
+                    fl, il, action = res
+                    _, vjp_fn = jax.vjp(
+                        lambda fl, a: impl(fl, il, a), fl, action
+                    )
+                    d_fl, d_a = vjp_fn(g)
+                    d_il = [np.zeros(np.shape(x), _f0) for x in il]
+                    return d_fl, d_il, d_a
+
+                remat.defvjp(fwd, bwd)
+                # int leaves (key, cur_step) pass through the simulator
+                # unchanged; reattach the inputs' values on both outputs
+                f1, f2 = remat(fl0, il0, action)
+                return (_unflat(_merge(f1, il0, spec0)),
+                        _unflat(_merge(f2, il0, spec0)))
         cov = getattr(kernel_step, "coverage_report", None)
         if cov is not None:
             step_batch.coverage_report = cov
