@@ -34,7 +34,9 @@ def main():
 
     env = env_functions["shape_rope"](batch_size=num_envs, seed=0)
     env.reset(jax.random.PRNGKey(0))  # MPM envs size their obs at reset
-    ppo = PPO(env, lr=3e-4, seed=0)
+    ppo = PPO(env, lr=3e-4, seed=0,
+              entropy_floor=float(os.environ.get("PPO_ENT_FLOOR", 0.0)),
+              entropy_floor_cost=float(os.environ.get("PPO_ENT_COST", 0.1)))
 
     @jax.jit
     def eval_rollout(policy_params, env_state):
