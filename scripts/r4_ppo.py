@@ -36,7 +36,8 @@ def main():
     env.reset(jax.random.PRNGKey(0))  # MPM envs size their obs at reset
     ppo = PPO(env, lr=3e-4, seed=0,
               entropy_floor=float(os.environ.get("PPO_ENT_FLOOR", 0.0)),
-              entropy_floor_cost=float(os.environ.get("PPO_ENT_COST", 0.1)))
+              entropy_floor_cost=float(os.environ.get("PPO_ENT_COST", 0.1)),
+              min_std=float(os.environ.get("PPO_MIN_STD", 0.05)))
 
     @jax.jit
     def eval_rollout(policy_params, env_state):

@@ -32,7 +32,8 @@ class PPO:
     def __init__(self, env, lr=3e-4, gamma=0.99, lam=0.95, clip_eps=0.2,
                  entropy_cost=1e-3, value_cost=0.5, unroll=None, seed=0,
                  optimizer="adam", kfac_kwargs=None,
-                 entropy_floor=0.0, entropy_floor_cost=0.1):
+                 entropy_floor=0.0, entropy_floor_cost=0.1,
+                 min_std=0.05):
         self.env = env
         self.gamma, self.lam = gamma, lam
         self.clip_eps = clip_eps
@@ -45,7 +46,12 @@ class PPO:
         self.entropy_floor_cost = entropy_floor_cost
         self.unroll = unroll or env.max_steps
 
-        self.dist = NormalTanhDistribution(env.action_size)
+        # min_std floors the policy scale STRUCTURALLY: the r5 records show
+        # the entropy hinge alone slows but does not stop std collapse on
+        # shape_rope (runs/r5/ppo_shape_rope{,_v2}: entropy -> -17..-27).
+        # APG keeps the reference's 0.001 (its BPTT gradients need the
+        # near-deterministic limit); PPO's surrogate does not.
+        self.dist = NormalTanhDistribution(env.action_size, min_std=min_std)
         self.policy = make_policy_model(self.dist.param_size, env.observation_size,
                                         hidden=(256, 256))
         self.value = make_policy_model(1, env.observation_size, hidden=(256, 256))
