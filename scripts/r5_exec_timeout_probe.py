@@ -34,7 +34,10 @@ def _run(n):
     a = jax.random.normal(jax.random.PRNGKey(0), (8192, 8192), jnp.float32)
     t0 = time.time()
     out = f(a)
-    jax.block_until_ready(out)
+    # block_until_ready returns early through the axon tunnel (CLAUDE.md
+    # "Never micro-benchmark ..."; first probe run read 0.9 s for a
+    # nominal 240 s loop) — force a host readback of the result instead.
+    _ = float(jnp.sum(out))
     return time.time() - t0
 
 

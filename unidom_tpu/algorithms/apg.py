@@ -27,6 +27,7 @@ import json
 import os
 import pickle
 import time
+import warnings
 from typing import NamedTuple, Optional
 
 import jax
@@ -76,6 +77,33 @@ def build_apg(
     """
     mesh = mesh or make_env_mesh()
     n_devices = mesh.devices.size
+
+    # Axon execution-length guard (round-5 B=16 root cause): the tunneled
+    # runtime crashes the TPU worker on single executions of roughly
+    # >=60 s — reproduced Pallas-free with a plain fori_loop of matmuls
+    # (runs/r5/exec_timeout_probe.jsonl: ~31 s passes, ~70 s crashes
+    # "TPU worker process crashed or restarted"), while every big-kernel
+    # shape/batch arm passes in isolation (runs/r5/b16_chain.jsonl).
+    # One minimize() is ONE execution of ep_len x PUSH_SUBSTEPS fwd+bwd
+    # macro calls; warn when its estimate approaches the boundary.
+    est_call_s = getattr(getattr(env, "simulator", None),
+                         "est_grad_seconds_per_call", None)
+    try:
+        on_axon = jax.default_backend() == "axon"
+    except Exception:
+        on_axon = False
+    if est_call_s and on_axon:
+        calls = episode_length * getattr(env, "PUSH_SUBSTEPS", 1)
+        est_iter_s = est_call_s * calls
+        if est_iter_s > 45.0:
+            warnings.warn(
+                f"one training iteration here is estimated ~{est_iter_s:.0f} s "
+                "of single-device execution; the axon tunneled runtime "
+                "crashes the TPU worker on executions >=~60 s (Pallas-free "
+                "repro: runs/r5/exec_timeout_probe.jsonl). Reduce batch "
+                "size or episode_length, or run on a directly-attached TPU.",
+                stacklevel=2,
+            )
 
     dist = NormalTanhDistribution(event_size=env.action_size)
     policy_model = make_policy_model(dist.param_size, env.observation_size)

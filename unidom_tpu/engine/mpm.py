@@ -286,6 +286,17 @@ class MPMSimulator:
             kernel_step = build_mpm_big_step_kernel(
                 self, interpret=(not on_tpu), dtype=kdtype
             )
+            # Wall-time estimate for ONE fwd+bwd macro call at this batch:
+            # grad ~ 4x the forward (replay + 3x adjoint), effective rate
+            # ~20 TF/s calibrated on the shape_elasto r5 bench (0.216
+            # s/call at B=4 vs 4.7 TF estimated). Consumed by the axon
+            # execution-length guard in algorithms/apg.py: the tunneled
+            # runtime crashes single executions of roughly >=60 s
+            # (Pallas-free repro: runs/r5/exec_timeout_probe.jsonl).
+            self.est_grad_seconds_per_call = (
+                kernel_step.est_fwd_flops_per_env_call
+                * self.batch_size * 4.0 / 20e12
+            )
         conf = self.conf
 
         def step_batch(state, action):

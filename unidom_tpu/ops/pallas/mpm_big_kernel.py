@@ -1318,4 +1318,12 @@ def build_mpm_big_step_kernel(sim, interpret=False, dtype=jnp.float32):
     step_batch._core = _core
     step_batch._pack = _pack
     step_batch.coverage_report = coverage_report
+    # Transfer-matmul FLOPs per env per macro call (P2G M=4*WX + G2P
+    # M=3*WX against the shared (3PC, NW) rhs, per chunk per substep) —
+    # the dominant cost term. Consumers estimate wall time with the
+    # measured effective rate (see engine/mpm.py est_grad_seconds_per_call
+    # and the axon execution-length guard in algorithms/apg.py).
+    step_batch.est_fwd_flops_per_env_call = float(
+        steps * NC * 2 * (4 * WX + 3 * WX) * (3 * PC) * NW
+    )
     return step_batch
