@@ -209,3 +209,49 @@ class TestAPG:
         # identical consecutive frames); 3 macro steps x 40 sub-actions in
         assert len(frames) > tiny_env.max_steps
         assert frames[0].shape[-1] in (3, 4)
+
+
+class TestAxonExecutionGuard:
+    """build_apg warns when one training iteration is predicted to exceed
+    the axon runtime's single-execution crash boundary (Pallas-free repro:
+    runs/r5/exec_timeout_probe.jsonl — ~31 s passes, ~70 s crashes the
+    TPU worker)."""
+
+    def _fake_env(self, est_call_s, push=20):
+        import types
+
+        env = types.SimpleNamespace()
+        env.action_size = 6
+        env.observation_size = 32
+        env.action_squash = "sigmoid"
+        env.reset_mode = "fixed"
+        env.PUSH_SUBSTEPS = push
+        env.simulator = types.SimpleNamespace(
+            est_grad_seconds_per_call=est_call_s)
+        env.batch_size = 4
+        return env
+
+    def test_warns_over_budget_on_axon(self, monkeypatch):
+        import warnings as W
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+        with pytest.warns(UserWarning, match="crashes the TPU worker"):
+            build_apg(self._fake_env(1.0), episode_length=3,
+                      mesh=make_env_mesh(1))  # 3 x 20 x 1.0 s = 60 s
+
+    def test_silent_under_budget(self, monkeypatch):
+        import warnings as W
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+        with W.catch_warnings():
+            W.simplefilter("error")
+            build_apg(self._fake_env(0.24), episode_length=3,
+                      mesh=make_env_mesh(1))  # ~14 s: under the 45 s gate
+
+    def test_silent_off_axon(self):
+        import warnings as W
+
+        with W.catch_warnings():
+            W.simplefilter("error")
+            build_apg(self._fake_env(10.0), episode_length=3,
+                      mesh=make_env_mesh(1))

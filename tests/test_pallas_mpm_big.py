@@ -417,3 +417,16 @@ def test_ywindow_aligned_rz48_parity():
     go, gp = loss(sim_x.step_batch), loss(sim_b.step_batch)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(go),
                                rtol=2e-3, atol=1e-6)
+
+
+def test_est_grad_seconds_attribute():
+    """The big-kernel builder publishes a FLOP-based wall-time estimate
+    (the axon execution-length guard's input — algorithms/apg.py; the
+    tunneled runtime crashes single executions >=~60 s,
+    runs/r5/exec_timeout_probe.jsonl)."""
+    _, sim_b, _ = build_pair(steps=4)
+    est4 = sim_b.est_grad_seconds_per_call
+    assert np.isfinite(est4) and est4 > 0
+    _, sim_b8, _ = build_pair(steps=8)
+    # linear in substep count by construction
+    assert sim_b8.est_grad_seconds_per_call == pytest.approx(2 * est4)
