@@ -114,19 +114,24 @@ def main():
             print(json.dumps(r))
 
     # ---- 4. PPO + identify ----
-    ppo = read_jsonl(os.path.join(R5, "ppo_shape_rope", "metrics.jsonl"))
+    # v3 (structural min_std floor) is the final record; fall back to the
+    # hinge-only arm if v3 is absent.
+    ppo = read_jsonl(os.path.join(R5, "ppo_shape_rope_v3", "metrics.jsonl")) \
+        or read_jsonl(os.path.join(R5, "ppo_shape_rope", "metrics.jsonl"))
     if ppo:
         evals = [(r["it"], r.get("eval_reward")) for r in ppo
                  if r.get("eval_reward") is not None]
         ents = [r.get("entropy") for r in ppo if r.get("entropy") is not None]
-        if evals and ents:
+        if evals:
             best = max(evals, key=lambda t: t[1])
+            ent_s = f"; min entropy {min(ents):.2f}" if ents else ""
             print(f"\n## PPO shape_rope (entropy floor): best eval "
                   f"{best[1]:.3f} @ it {best[0]}; final eval {evals[-1][1]:.3f}"
-                  f" @ it {evals[-1][0]}; min entropy {min(ents):.2f}")
+                  f" @ it {evals[-1][0]}{ent_s}")
             pub["ppo_shape_rope_best_eval_r5"] = round(best[1], 3)
             pub["ppo_shape_rope_final_eval_r5"] = round(evals[-1][1], 3)
-            pub["ppo_shape_rope_min_entropy_r5"] = round(min(ents), 2)
+            if ents:
+                pub["ppo_shape_rope_min_entropy_r5"] = round(min(ents), 2)
     res = os.path.join(R5, "identify", "result.json")
     if os.path.exists(res):
         r = json.load(open(res))
